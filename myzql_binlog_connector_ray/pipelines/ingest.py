@@ -1,0 +1,185 @@
+"""The flagship pipelines: segments → envelope log, and segments → lake upsert.
+
+Pure ``ray.data.Dataset`` composition (no raw tasks/actors):
+
+    read_binary_files(segments)                       # 1 block per segment
+      → map_batches(SegmentDecoder, concurrency=…)    # actor pool, stateful decode
+      → [envelope path]  write_parquet / return
+      → [apply path]     map_batches(AddPartition)    # hash(repo,path) % P
+                       → map_batches(lww_combine)     # pre-shuffle combiner
+                       → groupby("part")              # the only shuffle
+                       → map_groups(ApplyPartition)   # LWW merge + atomic commit
+
+Never calls ``ray.init`` — the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import pyarrow as pa
+import ray.data
+
+from ..fixtures.change_stream import SCHEMA_REGISTRY
+from functools import partial
+
+from ..stages.apply import add_partition, apply_partition_group, lww_combine, partition_of, sha256_hex
+from ..stages.decode import SegmentDecoder
+
+REPOS_TYPED_TYPES = {
+    "repo": pa.string(),
+    "path": pa.string(),
+    "commit": pa.string(),
+    "lang": pa.string(),
+    "content": pa.string(),
+    "stars": pa.int64(),
+}
+FINAL_COLUMNS = ["repo", "path", "commit", "lang", "content", "stars", "content_sha256"]
+
+
+def read_segments(segment_paths: list[str]) -> ray.data.Dataset:
+    """One input row (and roughly one block) per self-contained segment file."""
+    return ray.data.read_binary_files(segment_paths, include_paths=True)
+
+
+def decode_envelope(
+    segments: ray.data.Dataset,
+    *,
+    include: Optional[list[str]] = None,
+    exclude: Optional[list[str]] = None,
+    min_ordinal: Optional[int] = None,
+    max_ordinal: Optional[int] = None,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Segments → the reference's 9-column envelope (+ segment, ordinal)."""
+    return segments.map_batches(
+        SegmentDecoder,
+        fn_constructor_kwargs=dict(
+            mode="envelope",
+            include=include,
+            exclude=exclude,
+            min_ordinal=min_ordinal,
+            max_ordinal=max_ordinal,
+        ),
+        batch_size=1,  # one segment per call: the segment is the decode unit
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def decode_typed(
+    segments: ray.data.Dataset,
+    target_table: tuple[str, str] = ("app", "repos"),
+    *,
+    registry: Optional[dict] = None,
+    typed_types: Optional[dict] = None,
+    min_ordinal: Optional[int] = None,
+    max_ordinal: Optional[int] = None,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Segments → typed change rows for one table (no JSON detour)."""
+    return segments.map_batches(
+        SegmentDecoder,
+        fn_constructor_kwargs=dict(
+            mode="typed",
+            registry=registry or SCHEMA_REGISTRY,
+            target_table=target_table,
+            typed_types=typed_types or REPOS_TYPED_TYPES,
+            min_ordinal=min_ordinal,
+            max_ordinal=max_ordinal,
+        ),
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def init_lake(base_table: pa.Table, lake_dir: str, num_partitions: int) -> None:
+    """Materialize a base lake hash-partitioned the same way apply shuffles.
+
+    Driver-side (the base table is small fixture state); at scale this
+    would itself be a Dataset write with the same partition column.
+    """
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import partition_dir
+
+    part = partition_of(base_table["repo"].to_pylist(), base_table["path"].to_pylist(), num_partitions)
+    df = base_table.to_pandas()
+    df["content_sha256"] = sha256_hex(df["content"].tolist())
+    for p, g in df.groupby(part):
+        pdir = partition_dir(lake_dir, int(p))
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(g.drop(columns=[]), preserve_index=False),
+            os.path.join(pdir, "data.parquet"),
+            compression="zstd",
+        )
+
+
+def apply_changes(
+    changes: ray.data.Dataset,
+    *,
+    lake_dir: Optional[str],
+    num_partitions: int = 32,
+    write: bool = False,
+    final_columns: Optional[list[str]] = None,
+) -> ray.data.Dataset:
+    """Typed change rows → final lake state (or commit summaries if write=True)."""
+    ds = changes.map_batches(
+        add_partition,
+        fn_kwargs=dict(num_partitions=num_partitions),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(lww_combine, batch_format="pyarrow")
+    return ds.groupby("part").map_groups(
+        partial(
+            apply_partition_group,
+            lake_dir=lake_dir,
+            write=write,
+            final_columns=final_columns or FINAL_COLUMNS,
+        ),
+        batch_format="pandas",
+    )
+
+
+def run_ingest(
+    segment_paths: list[str],
+    lake_dir: str,
+    *,
+    num_partitions: int = 32,
+    target_table: tuple[str, str] = ("app", "repos"),
+    concurrency: int = 4,
+    min_ordinal: Optional[int] = None,
+    max_ordinal: Optional[int] = None,
+) -> list[dict]:
+    """Transactional ingest: decode → upsert *into* lake_dir, exactly-once.
+
+    Returns per-partition commit summaries. Re-running with the same
+    (or a prefix of the same) stream is a no-op per partition thanks to
+    the manifest watermark check.
+    """
+    segments = read_segments(segment_paths)
+    changes = decode_typed(
+        segments,
+        target_table,
+        concurrency=concurrency,
+        min_ordinal=min_ordinal,
+        max_ordinal=max_ordinal,
+    )
+    summaries = apply_changes(
+        changes,
+        lake_dir=lake_dir,
+        num_partitions=num_partitions,
+        write=True,
+    )
+    return summaries.take_all()  # small: one row per partition
+
+
+def read_lake(lake_dir: str) -> ray.data.Dataset:
+    """The committed lake state as a Dataset (partition dirs → blocks)."""
+    return ray.data.read_parquet(lake_dir)

@@ -1,0 +1,246 @@
+"""Segment decode stage: binary binlog segments → Arrow change batches.
+
+Used as a callable class in ``map_batches(SegmentDecoder, concurrency=N,
+batch_format="pyarrow")`` — an actor pool so the per-actor state
+(table filter, schema registry, metrics counters) is built once per
+actor, mirroring the reference's single reader thread state (TABLE_MAP
+cache, format description; reference: src/binlog_reader.zig:52-55).
+
+Per-*segment* decode state (FORMAT_DESCRIPTION post-header lengths, the
+TABLE_MAP cache, the current GTID ordinal) is scoped to one segment's
+bytes: segments are self-contained (each replays its own TABLE_MAPs,
+as MySQL does per binlog file), which is exactly what makes
+segment-parallel decode across tasks/actors safe (SURVEY.md §7.4).
+
+Two output modes:
+
+- ``envelope``: the reference's 9-column Parquet envelope
+  (reference: src/parquet_writer.zig:124-134) with positional-key JSON
+  row images, plus engine provenance columns (segment, ordinal).
+- ``typed``: named, typed Arrow columns for ONE target table (via the
+  schema registry) — the zero-JSON fast path the upsert apply consumes.
+
+The table filter is applied at TABLE_MAP time so excluded tables skip
+all row parsing (earliest-point filtering, as in the reference,
+src/binlog_reader.zig:406-417).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+from ..kernel.constants import (
+    DELETE_EVENTS,
+    INSERT_EVENTS,
+    ROW_EVENT_TYPES,
+    EventType,
+)
+from ..kernel.event_codec import (
+    iter_events,
+    parse_format_description,
+    parse_gtid,
+    parse_query,
+    parse_row_event,
+    parse_table_map,
+)
+from ..kernel.row_json import serialize_row
+from ..kernel.table_filter import TableFilter
+
+ENVELOPE_FIELDS = [
+    ("timestamp", pa.int64()),
+    ("server_id", pa.int32()),
+    ("log_pos", pa.int64()),
+    ("event_row_index", pa.int64()),
+    ("database", pa.string()),
+    ("table_name", pa.string()),
+    ("dml_type", pa.string()),
+    ("before_values", pa.string()),
+    ("after_values", pa.string()),
+]
+PROVENANCE_FIELDS = [("segment", pa.string()), ("ordinal", pa.int64())]
+ENVELOPE_SCHEMA = pa.schema(ENVELOPE_FIELDS + PROVENANCE_FIELDS)
+
+
+def _dml_name(event_type: int) -> str:
+    if event_type in INSERT_EVENTS:
+        return "INSERT"
+    if event_type in DELETE_EVENTS:
+        return "DELETE"
+    return "UPDATE"
+
+
+def _untag(v):
+    """Tagged kernel value → plain Python value for typed Arrow columns."""
+    if v is None or isinstance(v, (int, float)):
+        return v
+    tag = v[0]
+    if tag == "str":
+        return v[1].decode("utf-8", "replace")
+    if tag in ("blob",):
+        return v[1]
+    if tag in ("dec", "json"):
+        return v[1]
+    if tag == "ts":
+        return v[1]
+    if tag == "dt":
+        _, y, mo, d, h, mi, s, us = v
+        if us:
+            return f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}.{us:06d}"
+        return f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+    if tag == "dur":
+        _, neg, _days, h, mi, s, us = v
+        sign = "-" if neg else ""
+        return f"{sign}{h:02d}:{mi:02d}:{s:02d}.{us:06d}" if us else f"{sign}{h:02d}:{mi:02d}:{s:02d}"
+    return v[1]
+
+
+class SegmentDecoder:
+    """Actor-pool decode: batches of {path, bytes} → change-row batches."""
+
+    def __init__(
+        self,
+        mode: str = "envelope",
+        include: Optional[list[str]] = None,
+        exclude: Optional[list[str]] = None,
+        registry: Optional[dict[tuple[str, str], list[str]]] = None,
+        target_table: Optional[tuple[str, str]] = None,
+        min_ordinal: Optional[int] = None,
+        max_ordinal: Optional[int] = None,
+        typed_types: Optional[dict[str, pa.DataType]] = None,
+    ):
+        assert mode in ("envelope", "typed")
+        self.mode = mode
+        self.filter = TableFilter(include, exclude) if (include or exclude) else None
+        self.registry = registry or {}
+        self.target_table = target_table
+        self.min_ordinal = min_ordinal
+        self.max_ordinal = max_ordinal
+        self.typed_types = typed_types or {}
+        # per-actor metrics (reference: src/metrics.zig:25-46)
+        self.metrics = {"events": 0, "rows": 0, "filtered_tables": 0, "segments": 0}
+
+    # -- per-segment decode ------------------------------------------------
+
+    def _decode_segment(self, name: str, blob: bytes, sink) -> None:
+        post_header_len: bytes | None = None
+        table_maps: dict[int, object] = {}
+        filtered_ids: set[int] = set()
+        ordinal = -1
+        self.metrics["segments"] += 1
+
+        for ev in iter_events(blob):
+            et = ev.event_type
+            self.metrics["events"] += 1
+            if et == EventType.FORMAT_DESCRIPTION_EVENT:
+                post_header_len = parse_format_description(ev.data)["post_header_len"]
+            elif et == EventType.GTID_EVENT:
+                ordinal = parse_gtid(ev.data)
+            elif et == EventType.QUERY_EVENT:
+                # DDL: recorded for lineage; schema evolution itself rides on
+                # the TABLE_MAP replacement that follows.
+                parse_query(ev.data)
+            elif et == EventType.TABLE_MAP_EVENT:
+                tm = parse_table_map(ev.data)
+                if self.filter is not None and not self.filter.should_include(tm.database_name, tm.table_name):
+                    filtered_ids.add(tm.table_id)
+                    table_maps.pop(tm.table_id, None)
+                    self.metrics["filtered_tables"] += 1
+                else:
+                    filtered_ids.discard(tm.table_id)
+                    table_maps[tm.table_id] = tm  # replace-on-rewrite = schema evolution
+            elif et in ROW_EVENT_TYPES:
+                if self.min_ordinal is not None and ordinal < self.min_ordinal:
+                    continue
+                if self.max_ordinal is not None and ordinal > self.max_ordinal:
+                    continue
+                table_id = int.from_bytes(ev.data[0:6], "little")
+                if table_id in filtered_ids:
+                    continue
+                tm = table_maps.get(table_id)
+                if tm is None:
+                    continue
+                if self.target_table is not None and (tm.database_name, tm.table_name) != self.target_table:
+                    continue
+                rows = parse_row_event(et, ev.data, tm, post_header_len)
+                self.metrics["rows"] += len(rows)
+                sink(name, ev, ordinal, tm, _dml_name(et), rows)
+
+    # -- batch entry points ------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = batch["path"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        if self.mode == "envelope":
+            return self._envelope_batch(names, blobs)
+        return self._typed_batch(names, blobs)
+
+    def _envelope_batch(self, names, blobs) -> pa.Table:
+        cols = {name: [] for name, _ in ENVELOPE_FIELDS}
+        cols["segment"] = []
+        cols["ordinal"] = []
+
+        def sink(name, ev, ordinal, tm, dml, rows):
+            import os
+
+            seg = os.path.basename(name)
+            for idx, pair in enumerate(rows):
+                cols["timestamp"].append(ev.timestamp)
+                cols["server_id"].append(ev.server_id)
+                cols["log_pos"].append(ev.log_pos)
+                cols["event_row_index"].append(idx + 1)
+                cols["database"].append(tm.database_name)
+                cols["table_name"].append(tm.table_name)
+                cols["dml_type"].append(dml)
+                cols["before_values"].append(None if pair.before is None else serialize_row(pair.before))
+                cols["after_values"].append(None if pair.after is None else serialize_row(pair.after))
+                cols["segment"].append(seg)
+                cols["ordinal"].append(ordinal)
+
+        for name, blob in zip(names, blobs):
+            self._decode_segment(name, blob, sink)
+        return pa.table(
+            {name: pa.array(cols[name], type=typ) for name, typ in ENVELOPE_FIELDS + PROVENANCE_FIELDS}
+        )
+
+    def _typed_batch(self, names, blobs) -> pa.Table:
+        """Typed change rows for the target table, schema-evolution aware.
+
+        Output: segment, ordinal, event_row_index, dml + one column per
+        registry name (max width seen in the registry); UPDATE/INSERT
+        take the after image, DELETE the before image (key columns).
+        """
+        assert self.target_table is not None, "typed mode requires target_table"
+        col_names = list(self.registry.get(self.target_table, []))
+        ncols = len(col_names)
+        data: dict[str, list] = {n: [] for n in ("segment", "ordinal", "event_row_index", "dml")}
+        for c in col_names:
+            data[c] = []
+
+        def sink(name, ev, ordinal, tm, dml, rows):
+            import os
+
+            seg = os.path.basename(name)
+            for idx, pair in enumerate(rows):
+                image = pair.after if pair.after is not None else pair.before
+                data["segment"].append(seg)
+                data["ordinal"].append(ordinal)
+                data["event_row_index"].append(idx + 1)
+                data["dml"].append(dml)
+                for i in range(ncols):
+                    v = image[i] if i < len(image) else None
+                    data[col_names[i]].append(_untag(v))
+
+        for name, blob in zip(names, blobs):
+            self._decode_segment(name, blob, sink)
+
+        out = {
+            "segment": pa.array(data["segment"], pa.string()),
+            "ordinal": pa.array(data["ordinal"], pa.int64()),
+            "event_row_index": pa.array(data["event_row_index"], pa.int64()),
+            "dml": pa.array(data["dml"], pa.string()),
+        }
+        for c in col_names:
+            out[c] = pa.array(data[c], type=self.typed_types.get(c))
+        return pa.table(out)

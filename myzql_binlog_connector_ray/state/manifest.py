@@ -1,0 +1,87 @@
+"""Per-partition checkpoint manifests for the exactly-once sink.
+
+A lake directory is laid out as::
+
+    lake/
+      part=0000/data.parquet
+      part=0001/data.parquet
+      _manifests/part-0000.json     {"partition", "watermark", "rows", "state_sha256"}
+      ...
+
+Commits are atomic per partition: data is written to a temp file and
+``os.replace``d into place, then the manifest is replaced the same way.
+A partition whose manifest watermark already covers the incoming
+change-ordinal range is skipped entirely, and changes at or below the
+watermark are dropped before merge — so replaying a prefix of the
+stream (task retry, resumed run) can neither duplicate an upsert nor
+resurrect a deleted key. This is the engine's exactly-once mechanism
+(north rule; the reference's analogue is whole-file overwrite
+idempotence, reference: src/pipeline.zig:470-479).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Optional
+
+
+def partition_dir(lake_dir: str, part: int) -> str:
+    return os.path.join(lake_dir, f"part={part:04d}")
+
+
+def manifest_path(lake_dir: str, part: int) -> str:
+    return os.path.join(lake_dir, "_manifests", f"part-{part:04d}.json")
+
+
+def read_manifest(lake_dir: str, part: int) -> Optional[dict]:
+    try:
+        with open(manifest_path(lake_dir, part)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def read_all_manifests(lake_dir: str) -> list[dict]:
+    mdir = os.path.join(lake_dir, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def commit_partition(
+    lake_dir: str,
+    part: int,
+    table,
+    watermark: int,
+    state_sha256: str,
+) -> dict:
+    """Atomically replace a partition's data file and manifest."""
+    import pyarrow.parquet as pq
+
+    pdir = partition_dir(lake_dir, part)
+    os.makedirs(pdir, exist_ok=True)
+    os.makedirs(os.path.join(lake_dir, "_manifests"), exist_ok=True)
+
+    tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(pdir, "data.parquet"))
+
+    manifest = {
+        "partition": part,
+        "watermark": int(watermark),
+        "rows": table.num_rows,
+        "state_sha256": state_sha256,
+    }
+    mpath = manifest_path(lake_dir, part)
+    mtmp = mpath + f".tmp-{uuid.uuid4().hex}"
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, mpath)
+    return manifest

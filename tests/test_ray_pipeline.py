@@ -1,0 +1,173 @@
+"""End-to-end Ray Data pipeline tests: decode → envelope, decode → apply,
+exactly-once commits, checkpoint/resume, table filter pushdown."""
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from myzql_binlog_connector_ray.fixtures.change_stream import WAVE, base_lake_table, load_docs
+from myzql_binlog_connector_ray.pipelines.ingest import (
+    apply_changes,
+    decode_envelope,
+    decode_typed,
+    init_lake,
+    read_lake,
+    read_segments,
+    run_ingest,
+)
+from myzql_binlog_connector_ray.state.manifest import read_all_manifests
+
+N_PARTS = 8
+
+
+@pytest.fixture()
+def lake(fixture_paths, tmp_path, sf_dir):
+    """Fresh hash-partitioned base lake per test."""
+    import pyarrow.parquet as pq
+
+    lake_dir = str(tmp_path / "lake")
+    init_lake(pq.read_table(fixture_paths["base_lake"]), lake_dir, N_PARTS)
+    return lake_dir
+
+
+def _expected_final(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+    return con.sql(
+        """
+        WITH d AS (
+          SELECT doc_id, text, lang,
+            CASE WHEN doc_id % 7 = 0 THEN 'org0/hotrepo'
+                 ELSE 'org' || (doc_id % 10) || '/repo' || (doc_id % 50) END AS repo,
+            'src/f' || doc_id || '.' || lang AS path,
+            CASE WHEN doc_id % 9 = 0 THEN 3 WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS v
+          FROM documents
+        )
+        SELECT repo, path,
+               sha256(CASE WHEN v = 1 THEN text ELSE text || ' [v' || v || ']' END) AS content_sha256
+        FROM d WHERE doc_id % 5 <> 0 ORDER BY repo, path
+        """
+    ).df()
+
+
+def test_envelope_pipeline(ray_session, fixture_paths):
+    ds = decode_envelope(read_segments(fixture_paths["segment_paths"]), concurrency=2)
+    df = ds.to_pandas()
+    # reference envelope columns, in order (src/parquet_writer.zig:124-134)
+    assert list(df.columns)[:9] == [
+        "timestamp",
+        "server_id",
+        "log_pos",
+        "event_row_index",
+        "database",
+        "table_name",
+        "dml_type",
+        "before_values",
+        "after_values",
+    ]
+    assert set(df["dml_type"].unique()) == {"INSERT", "UPDATE", "DELETE"}
+    ins = df[df["dml_type"] == "INSERT"]
+    assert ins["before_values"].isna().all() and ins["after_values"].notna().all()
+    dele = df[df["dml_type"] == "DELETE"]
+    assert dele["after_values"].isna().all() and dele["before_values"].notna().all()
+    # JSON images parse and use positional keys
+    obj = json.loads(ins["after_values"].iloc[0])
+    assert "c0" in obj
+    # event_row_index is 1-based within each multi-row event
+    assert df["event_row_index"].min() == 1
+
+
+def test_envelope_table_filter(ray_session, fixture_paths):
+    ds = decode_envelope(
+        read_segments(fixture_paths["segment_paths"]),
+        include=["app.*"],
+        concurrency=2,
+    )
+    df = ds.to_pandas()
+    assert set(df["database"].unique()) == {"app"}
+    ds2 = decode_envelope(
+        read_segments(fixture_paths["segment_paths"]),
+        exclude=["app.repos"],
+        concurrency=2,
+    )
+    df2 = ds2.to_pandas()
+    assert set(df2["table_name"].unique()) == {"counters"}
+
+
+def test_envelope_ordinal_range(ray_session, fixture_paths):
+    # position-range predicate: waves 1-2 only (F3 analogue over ordinals)
+    ds = decode_envelope(
+        read_segments(fixture_paths["segment_paths"]),
+        max_ordinal=3 * WAVE - 1,
+        concurrency=2,
+    )
+    df = ds.to_pandas()
+    assert df["ordinal"].max() < 3 * WAVE
+    assert set(df["dml_type"].unique()) == {"INSERT", "UPDATE"}
+
+
+def test_apply_pipeline_matches_oracle(ray_session, fixture_paths, lake, sf_dir):
+    changes = decode_typed(read_segments(fixture_paths["segment_paths"]), concurrency=2)
+    final = apply_changes(changes, lake_dir=lake, num_partitions=N_PARTS).to_pandas()
+    want = _expected_final(sf_dir)
+    got = final.sort_values(["repo", "path"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["content_sha256"], want["content_sha256"], check_names=False
+    )
+
+
+def test_transactional_ingest_and_exactly_once(ray_session, fixture_paths, lake, sf_dir):
+    summaries = run_ingest(
+        fixture_paths["segment_paths"], lake, num_partitions=N_PARTS, concurrency=2
+    )
+    assert all(not s["skipped"] for s in summaries)
+    want = _expected_final(sf_dir)
+    got = read_lake(lake).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    # read_parquet over the lake dir also picks up partition dirs
+    got = got[["repo", "path", "content_sha256"]]
+    pd.testing.assert_series_equal(got["content_sha256"], want["content_sha256"], check_names=False)
+
+    manifests = read_all_manifests(lake)
+    assert len(manifests) == len(summaries)
+    assert sum(m["rows"] for m in manifests) == len(want)
+
+    # replay the identical stream: every partition must be skipped
+    summaries2 = run_ingest(
+        fixture_paths["segment_paths"], lake, num_partitions=N_PARTS, concurrency=2
+    )
+    assert all(s["skipped"] for s in summaries2)
+    got2 = read_lake(lake).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got2["content_sha256"], want["content_sha256"], check_names=False
+    )
+
+
+def test_checkpoint_resume_mid_stream(ray_session, fixture_paths, lake, sf_dir):
+    paths = fixture_paths["segment_paths"]
+    # first run: only the first two segments (simulated interruption)
+    run_ingest(paths[:2], lake, num_partitions=N_PARTS, concurrency=2)
+    # resume: full stream (prefix replays are dropped by the watermark check)
+    run_ingest(paths, lake, num_partitions=N_PARTS, concurrency=2)
+    want = _expected_final(sf_dir)
+    got = read_lake(lake).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got[["repo", "path", "content_sha256"]]["content_sha256"],
+        want["content_sha256"],
+        check_names=False,
+    )
+
+
+def test_schema_evolution_in_lake(ray_session, fixture_paths, lake):
+    run_ingest(fixture_paths["segment_paths"], lake, num_partitions=N_PARTS, concurrency=2)
+    df = read_lake(lake).to_pandas()
+    # stars exists, set exactly on wave-3 (doc_id % 9 == 0) surviving keys
+    assert "stars" in df.columns
+    starred = df[df["stars"].notna()]
+    assert len(starred) > 0
+    assert starred["commit"].notna().all()

@@ -1,16 +1,11 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native CDC ingest engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship pipeline (binlog-segment decode → LWW
+upsert apply) on sf0.001. ``queries()`` exposes one callable per
+implemented operator/pipeline (SURVEY.md §2 + training-data extras);
+``oracle_sql()`` gives the DuckDB-checkable subset. Ray is initialised
+by the driver before this module is imported — nothing here calls
+``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +13,143 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from myzql_binlog_connector_ray import api
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: segments → decode → LWW upsert → final lake."""
+    return api.lake_upsert_lww("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # CDC pipeline operators (reference parity + north rule)
+        "lake_upsert_lww": api.lake_upsert_lww,
+        "changes_count_by_dml": api.changes_count_by_dml,
+        "table_filter_app_only": api.table_filter_app_only,
+        "ordinal_range_waves12": api.ordinal_range_waves12,
+        "envelope_counters_inserts": api.envelope_counters_inserts,
+        "ingest_exactly_once": api.ingest_exactly_once,
+        # training-data operators
+        "dedup_exact": api.dedup_exact,
+        "token_count_by_lang": api.token_count_by_lang,
+        "quality_stats_by_source": api.quality_stats_by_source,
+        "lang_distribution": api.lang_distribution,
+        "ann_topk_bruteforce": api.ann_topk_bruteforce,
+        "binary_payload_stats": api.binary_payload_stats,
+        # non-SQL-expressible (rows-only checks)
+        "minhash_dup_candidates": api.minhash_dup_candidates,
+        "simhash_fingerprints": api.simhash_fingerprints,
+        "language_id_predictions": api.language_id_predictions,
+        "doc_fingerprints": api.doc_fingerprints,
+        "ann_topk_lsh": api.ann_topk_lsh,
+        "multimodal_decode_fake": api.multimodal_decode_fake,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# Shared CTE mapping documents → the derived repo-content key space
+# (mirrors fixtures/change_stream.py generation rules 1:1).
+_D = """
+  SELECT doc_id, text, lang,
+    CASE WHEN doc_id % 7 = 0 THEN 'org0/hotrepo'
+         ELSE 'org' || (doc_id % 10) || '/repo' || (doc_id % 50) END AS repo,
+    'src/f' || doc_id || '.' || lang AS path,
+    CASE WHEN doc_id % 9 = 0 THEN 3 WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS v
+  FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lake_upsert_lww": f"""
+            WITH d AS ({_D})
+            SELECT repo, path,
+                   md5(repo || ':' || path || ':v' || v) AS commit,
+                   lang,
+                   CASE WHEN v = 1 THEN text ELSE text || ' [v' || v || ']' END AS content,
+                   CAST(CASE WHEN doc_id % 9 = 0 THEN doc_id % 1000 END AS BIGINT) AS stars,
+                   sha256(CASE WHEN v = 1 THEN text ELSE text || ' [v' || v || ']' END) AS content_sha256
+            FROM d
+            WHERE doc_id % 5 <> 0
+        """,
+        "changes_count_by_dml": """
+            WITH d AS (SELECT doc_id FROM documents)
+            SELECT 'app' AS "database", 'repos' AS table_name, 'INSERT' AS dml_type,
+                   (SELECT count(*) FROM d WHERE doc_id % 4 = 0) AS n
+            UNION ALL
+            SELECT 'app', 'repos', 'UPDATE',
+                   (SELECT count(*) FROM d WHERE doc_id % 3 = 0) + (SELECT count(*) FROM d WHERE doc_id % 9 = 0)
+            UNION ALL
+            SELECT 'app', 'repos', 'DELETE',
+                   (SELECT count(*) FROM d WHERE doc_id % 5 = 0)
+            UNION ALL
+            SELECT 'metrics', 'counters', 'INSERT',
+                   (SELECT count(*) FROM d WHERE doc_id % 11 = 0)
+        """,
+        "table_filter_app_only": """
+            WITH d AS (SELECT doc_id FROM documents)
+            SELECT 'repos' AS table_name, 'INSERT' AS dml_type,
+                   (SELECT count(*) FROM d WHERE doc_id % 4 = 0) AS n
+            UNION ALL
+            SELECT 'repos', 'UPDATE',
+                   (SELECT count(*) FROM d WHERE doc_id % 3 = 0) + (SELECT count(*) FROM d WHERE doc_id % 9 = 0)
+            UNION ALL
+            SELECT 'repos', 'DELETE',
+                   (SELECT count(*) FROM d WHERE doc_id % 5 = 0)
+        """,
+        "ordinal_range_waves12": """
+            WITH d AS (SELECT doc_id FROM documents)
+            SELECT 'INSERT' AS dml_type,
+                   (SELECT count(*) FROM d WHERE doc_id % 4 = 0) + (SELECT count(*) FROM d WHERE doc_id % 11 = 0) AS n
+            UNION ALL
+            SELECT 'UPDATE', (SELECT count(*) FROM d WHERE doc_id % 3 = 0)
+        """,
+        "envelope_counters_inserts": """
+            SELECT 'metrics' AS "database", 'counters' AS table_name,
+                   '{"c0":' || doc_id || ',"c1":' || length(text) || '}' AS after_values
+            FROM documents WHERE doc_id % 11 = 0
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+            ) GROUP BY text
+        """,
+        "token_count_by_lang": """
+            SELECT lang,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "quality_stats_by_source": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY source
+        """,
+        "lang_distribution": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "ann_topk_bruteforce": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+            s AS (
+              SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.qid
+            )
+            SELECT qid, nid, rk FROM (
+              SELECT qid, nid,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+              FROM s
+            ) WHERE rk <= 10
+        """,
+        "binary_payload_stats": """
+            SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   count(*) AS n,
+                   CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+            FROM documents GROUP BY 1
+        """,
+    }

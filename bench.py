@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline CDC ingest throughput + per-query timings.
+
+Prints ONE JSON line:
+    {"metric": "ingest_wall_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "change_events": N,
+     "events_per_sec": N}
+
+- input: $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+- cpus:  $RAY_GRAFT_CPUS (default 32)
+- --scaling: runs the headline job in TWO fresh subprocesses
+  (num_cpus=8 and num_cpus=32) on the same input and reports both
+  throughputs + scaling efficiency (the sandbox proxy for the N vs 4N
+  node criterion in BASELINE.md).
+
+The headline pipeline is the flagship: binlog segments → actor-pool
+decode → hash-partitioned LWW upsert apply with transactional commits.
+Segment fixtures are replicated (documents × REPLICATE) so the stream
+is large enough to measure; generation is cached across runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "400"))
+NUM_SEGMENTS = int(os.environ.get("GRAFT_BENCH_SEGMENTS", "32"))
+NUM_PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "64"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from myzql_binlog_connector_ray import api
+    from myzql_binlog_connector_ray.fixtures.change_stream import materialize
+    from myzql_binlog_connector_ray.pipelines.ingest import run_ingest
+
+    t0 = time.perf_counter()
+    fx = materialize(
+        SF_DIR, api.WORK_DIR, num_segments=NUM_SEGMENTS, rows_per_event=200, replicate=REPLICATE
+    )
+    fixture_sec = time.perf_counter() - t0
+
+    # count change events once (cached)
+    meta_path = os.path.join(fx["root"], "_bench_meta.json")
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+    else:
+        from myzql_binlog_connector_ray.fixtures.change_stream import build_transactions, load_docs
+
+        txns = build_transactions(load_docs(SF_DIR, REPLICATE), 200)
+        n_events = sum(len(t["rows"]) for t in txns)
+        seg_bytes = sum(os.path.getsize(p) for p in fx["segment_paths"])
+        meta = {"change_events": n_events, "segment_bytes": seg_bytes}
+        json.dump(meta, open(meta_path, "w"))
+
+    # warm page cache (untimed) so we measure compute+shuffle, not first disk read
+    for p in fx["segment_paths"]:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    lake_src = api._fresh_lake(fx, NUM_PARTITIONS)
+    lake_dir = os.path.join(fx["root"], f"bench_lake_{NUM_CPUS}")
+    if os.path.exists(lake_dir):
+        shutil.rmtree(lake_dir)
+    shutil.copytree(lake_src, lake_dir)
+
+    concurrency = max(2, NUM_CPUS - 4)  # leave CPUs for read + shuffle stages
+    t0 = time.perf_counter()
+    run_ingest(
+        fx["segment_paths"],
+        lake_dir,
+        num_partitions=NUM_PARTITIONS,
+        concurrency=concurrency,
+    )
+    ingest_sec = time.perf_counter() - t0
+
+    # secondary queries at the plain sf scale
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume Datasets fully
+        try:
+            import ray.data
+
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+        except Exception:
+            pass
+        queries[name] = round(time.perf_counter() - t, 4)
+
+    timed("changes_count_by_dml", api.changes_count_by_dml)
+    timed("dedup_exact", api.dedup_exact)
+    timed("token_count_by_lang", api.token_count_by_lang)
+    timed("ann_topk_bruteforce", api.ann_topk_bruteforce)
+    timed("minhash_dup_candidates", api.minhash_dup_candidates)
+
+    queries["ingest"] = round(ingest_sec, 4)
+    result = {
+        "metric": "ingest_wall_sec",
+        "value": round(ingest_sec, 4),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "change_events": meta["change_events"],
+        "segment_bytes": meta["segment_bytes"],
+        "events_per_sec": round(meta["change_events"] / ingest_sec, 1),
+        "fixture_sec": round(fixture_sec, 4),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = sub(lo), sub(hi)
+    tput_lo = r_lo["events_per_sec"]
+    tput_hi = r_hi["events_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "events_per_sec_lo": tput_lo,
+        "events_per_sec_hi": tput_hi,
+        "change_events": r_lo["change_events"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,321 @@
+"""Query-level API: one function per operator/pipeline, each taking an
+``sf_dir`` and returning a Dataset / DataFrame / Arrow table.
+
+These are the entries exposed through ``__ray_entry__.queries()`` and
+cross-checked against ``oracle_sql()`` by the driver at sf0.01. CDC
+queries run over binlog segments synthesized deterministically from
+``documents.parquet`` (fixtures.change_stream), so DuckDB can recompute
+the same results closed-form. Ray is assumed to be initialised by the
+caller.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from functools import partial
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from .fixtures.change_stream import WAVE, materialize
+from .functions.ann import BruteForceTopK, LshBucketer, merge_topk
+from .functions.dedup import (
+    MinHasher,
+    add_content_hash,
+    add_simhash,
+    band_bucket_pairs,
+    keep_first_by,
+)
+from .functions.multimodal import DecodeStub, payload_stats, text_to_media_batch
+from .functions.text import LanguageId, QualityScorer, add_fingerprint, token_count_batch
+from .pipelines.ingest import (
+    FINAL_COLUMNS,
+    apply_changes,
+    decode_envelope,
+    decode_typed,
+    init_lake,
+    read_segments,
+)
+
+WORK_DIR = os.environ.get("GRAFT_WORK_DIR", os.path.join(tempfile.gettempdir(), "graft_cdc_work"))
+
+
+def _fixtures(sf_dir: str, replicate: int = 1, rows_per_event: int = 200, num_segments: int = 4) -> dict:
+    os.makedirs(WORK_DIR, exist_ok=True)
+    return materialize(sf_dir, WORK_DIR, num_segments=num_segments, rows_per_event=rows_per_event, replicate=replicate)
+
+
+def _fresh_lake(fx: dict, num_partitions: int) -> str:
+    """Hash-partitioned base lake for this fixture set (cached)."""
+    lake_dir = os.path.join(fx["root"], f"base_lake_p{num_partitions}")
+    done = os.path.join(lake_dir, "_LAKE_DONE")
+    if not os.path.exists(done):
+        init_lake(pq.read_table(fx["base_lake"]), lake_dir, num_partitions)
+        with open(done, "w") as f:
+            f.write("ok")
+    return lake_dir
+
+
+# --------------------------------------------------------------------------
+# CDC queries (SURVEY.md §2 operators, SQL-checked)
+# --------------------------------------------------------------------------
+
+
+def lake_upsert_lww(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
+    """Flagship: decode segments → LWW upsert apply over the base lake."""
+    fx = _fixtures(sf_dir)
+    lake_dir = _fresh_lake(fx, num_partitions)
+    changes = decode_typed(read_segments(fx["segment_paths"]), concurrency=concurrency)
+    return apply_changes(
+        changes, lake_dir=lake_dir, num_partitions=num_partitions, final_columns=FINAL_COLUMNS
+    )
+
+
+def changes_count_by_dml(sf_dir: str, *, concurrency=None):
+    fx = _fixtures(sf_dir)
+    ds = decode_envelope(read_segments(fx["segment_paths"]), concurrency=concurrency)
+    return ds.groupby(["database", "table_name", "dml_type"]).aggregate(Count(alias_name="n"))
+
+
+def table_filter_app_only(sf_dir: str, *, concurrency=None):
+    """Include-filter ``app.*`` applied at TABLE_MAP time inside decode."""
+    fx = _fixtures(sf_dir)
+    ds = decode_envelope(read_segments(fx["segment_paths"]), include=["app.*"], concurrency=concurrency)
+    return ds.groupby(["table_name", "dml_type"]).aggregate(Count(alias_name="n"))
+
+
+def ordinal_range_waves12(sf_dir: str, *, concurrency=None):
+    """Position-range predicate: stop at the wave-2/3 boundary."""
+    fx = _fixtures(sf_dir)
+    ds = decode_envelope(
+        read_segments(fx["segment_paths"]), max_ordinal=3 * WAVE - 1, concurrency=concurrency
+    )
+    return ds.groupby("dml_type").aggregate(Count(alias_name="n"))
+
+
+def envelope_counters_inserts(sf_dir: str, *, concurrency=None):
+    """Envelope JSON row images for the metrics.counters table."""
+    fx = _fixtures(sf_dir)
+    ds = decode_envelope(
+        read_segments(fx["segment_paths"]), include=["metrics.counters"], concurrency=concurrency
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["dml_type"], "INSERT")).select(
+            ["database", "table_name", "after_values"]
+        ),
+        batch_format="pyarrow",
+    )
+    return ds
+
+
+# --------------------------------------------------------------------------
+# Training-data operators over documents / embeddings (SQL-checked)
+# --------------------------------------------------------------------------
+
+
+def _docs_ds(sf_dir: str, columns=None):
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: documents ∪ (shifted copy) → hash-group → keep min id.
+
+    The text column is dropped before the groupby so the shuffle ships
+    only (hash, doc_id) pairs.
+    """
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    dup = ds.map_batches(
+        lambda t: t.set_column(0, "doc_id", pa.compute.add(t["doc_id"], 1_000_000)),
+        batch_format="pyarrow",
+    )
+    both = ds.union(dup)
+    hashed = both.map_batches(add_content_hash, batch_format="pyarrow").select_columns(
+        ["doc_id", "content_hash"]
+    )
+    kept = hashed.groupby("content_hash").map_groups(
+        partial(keep_first_by, id_col="doc_id"), batch_format="pandas"
+    )
+    return kept.select_columns(["doc_id"])
+
+
+def token_count_by_lang(sf_dir: str):
+    ds = _docs_ds(sf_dir, ["doc_id", "text", "lang"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return ds.groupby("lang").aggregate(
+        Sum("n_tokens", alias_name="total_tokens"), Count(alias_name="n_docs")
+    )
+
+
+def quality_stats_by_source(sf_dir: str, *, concurrency=(1, 2)):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text", "source"])
+    ds = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=concurrency)
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("q_chars", alias_name="total_chars"),
+        Sum("q_tokens", alias_name="total_tokens"),
+    )
+
+
+def lang_distribution(sf_dir: str):
+    return _docs_ds(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def ann_topk_bruteforce(sf_dir: str, *, k: int = 10, num_queries: int = 5):
+    """Brute-force cosine top-k: queries broadcast once via ray.put,
+    per-batch float64 matmul partials, tiny driver-side merge."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path).sort_by("vec_id").slice(0, num_queries)
+    q = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    qids = head["vec_id"].to_pylist()
+    q_ref = ray.put(q)
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=q_ref, query_ids=qids, k=k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 2),
+    )
+    merged = merge_topk(partials.to_pandas(), k=k)  # ≤ (k+1)·#blocks·nq rows
+    merged = merged.rename(columns={"rank": "rk"})
+    return merged
+
+
+def binary_payload_stats(sf_dir: str):
+    """Multimodal metadata pipeline: opaque payloads → per-kind size stats."""
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    media = ds.map_batches(text_to_media_batch, batch_format="pyarrow")
+    stats = media.map_batches(payload_stats, batch_format="pyarrow")
+    return stats.groupby("kind").aggregate(
+        Count(alias_name="n"), Sum("payload_bytes", alias_name="total_bytes")
+    )
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible operators (rows-only driver check)
+# --------------------------------------------------------------------------
+
+
+def minhash_dup_candidates(sf_dir: str, *, concurrency=(1, 2)):
+    """MinHash-LSH near-dup candidates over documents ∪ near-identical copy."""
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    near = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pa.compute.add(t["doc_id"], 1_000_000),
+                "text": pa.array([s + " tail" for s in t["text"].to_pylist()]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    both = ds.union(near)
+    bands = both.map_batches(MinHasher, batch_format="pyarrow", concurrency=concurrency)
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(band_bucket_pairs, batch_format="pandas")
+    out = pairs.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    return out
+
+
+def simhash_fingerprints(sf_dir: str):
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(add_simhash, batch_format="pyarrow").select_columns(["doc_id", "simhash"])
+
+
+def language_id_predictions(sf_dir: str, *, concurrency=(1, 2)):
+    ds = _docs_ds(sf_dir, ["doc_id", "text", "lang"])
+    ds = ds.map_batches(LanguageId, batch_format="pyarrow", concurrency=concurrency)
+    return ds.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def doc_fingerprints(sf_dir: str):
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    fp = ds.map_batches(add_fingerprint, batch_format="pyarrow")
+    return fp.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_fingerprints": pa.array([len(x) for x in t["fingerprint"].to_pylist()], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def ann_topk_lsh(sf_dir: str, *, k: int = 10, num_queries: int = 5, bits: int = 4):
+    """LSH-bucketed ANN (scale path): search only the query's bucket."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path).sort_by("vec_id").slice(0, num_queries)
+    q = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    qids = head["vec_id"].to_pylist()
+    dim = q.shape[1]
+    bucketer = LshBucketer(dim=dim, bits=bits)
+    q_buckets = bucketer.bucket_of(q)
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        LshBucketer, fn_constructor_kwargs=dict(dim=dim, bits=bits), batch_format="pyarrow", concurrency=(1, 2)
+    )
+    wanted = set(int(b) for b in q_buckets)
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["bucket"], value_set=pa.array(sorted(wanted), pa.int64()))),
+        batch_format="pyarrow",
+    )
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=ray.put(q), query_ids=qids, k=k),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    merged = merge_topk(partials.to_pandas(), k=k).rename(columns={"rank": "rk"})
+    return merged
+
+
+def multimodal_decode_fake(sf_dir: str, *, concurrency=(1, 2)):
+    """Media decode plumbing with the deterministic fake kernel."""
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    media = ds.map_batches(text_to_media_batch, batch_format="pyarrow")
+    feats = media.map_batches(
+        DecodeStub,
+        fn_constructor_kwargs=dict(dim=16, fake=True),
+        batch_format="pyarrow",
+        batch_size=256,  # payload-width-aware batch sizing
+        concurrency=concurrency,
+    )
+    return feats.map_batches(
+        lambda t: pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "feat_dim": pa.array([len(x) for x in t["features"].to_pylist()], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def ingest_exactly_once(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
+    """Transactional ingest run twice; returns per-partition commit
+    summaries of the second (fully skipped) run — exactly-once evidence."""
+    import shutil
+
+    from .pipelines.ingest import run_ingest
+
+    fx = _fixtures(sf_dir)
+    lake_dir = os.path.join(fx["root"], "lake_e1")
+    if os.path.exists(lake_dir):
+        shutil.rmtree(lake_dir)
+    import glob
+
+    src = _fresh_lake(fx, num_partitions)
+    shutil.copytree(src, lake_dir)
+    run_ingest(fx["segment_paths"], lake_dir, num_partitions=num_partitions, concurrency=concurrency)
+    summaries = run_ingest(
+        fx["segment_paths"], lake_dir, num_partitions=num_partitions, concurrency=concurrency
+    )
+    return pd.DataFrame(summaries).sort_values("part").reset_index(drop=True)

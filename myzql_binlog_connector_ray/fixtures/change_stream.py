@@ -110,9 +110,19 @@ class Doc:
     lang: str
 
 
-def load_docs(sf_dir: str) -> list[Doc]:
+def load_docs(sf_dir: str, replicate: int = 1) -> list[Doc]:
+    """Documents table → Doc list; ``replicate`` > 1 expands the key space
+    deterministically (bench scale — correctness queries use 1):
+    copy r gets doc_id + r*1_000_000 and content suffixed ``" r{r}"``."""
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"])
-    return [Doc(*vals) for vals in zip(t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist())]
+    docs = [Doc(*vals) for vals in zip(t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist())]
+    if replicate > 1:
+        out = list(docs)
+        for r in range(1, replicate):
+            off = r * 1_000_000
+            out.extend(Doc(d.doc_id + off, f"{d.text} r{r}", d.lang) for d in docs)
+        return out
+    return docs
 
 
 def base_lake_table(docs: list[Doc]) -> pa.Table:
@@ -245,20 +255,26 @@ def write_segments(
     return paths
 
 
-def materialize(sf_dir: str, work_dir: str, num_segments: int = 4, rows_per_event: int = 200) -> dict:
+def materialize(
+    sf_dir: str,
+    work_dir: str,
+    num_segments: int = 4,
+    rows_per_event: int = 200,
+    replicate: int = 1,
+) -> dict:
     """Build (and cache) base lake parquet + segments for one sf_dir.
 
     Cached under ``work_dir`` keyed by the sf_dir basename; safe to call
     repeatedly (used by __ray_entry__ queries and bench).
     """
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(work_dir, f"cdc_{tag}_s{num_segments}_r{rows_per_event}")
+    root = os.path.join(work_dir, f"cdc_{tag}_s{num_segments}_r{rows_per_event}_x{replicate}")
     done = os.path.join(root, "_FIXTURE_DONE")
     seg_dir = os.path.join(root, "segments")
     base_path = os.path.join(root, "base_lake.parquet")
     if not os.path.exists(done):
         os.makedirs(seg_dir, exist_ok=True)
-        docs = load_docs(sf_dir)
+        docs = load_docs(sf_dir, replicate)
         pq.write_table(base_lake_table(docs), base_path)
         write_segments(docs, seg_dir, num_segments, rows_per_event)
         with open(done, "w") as f:

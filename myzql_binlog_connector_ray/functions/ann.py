@@ -1,0 +1,103 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- Brute-force cosine top-k: the queries (small side) are broadcast via
+  ``ray.put`` once; each map_batches task does one float64 matmul per
+  batch against the broadcast matrix and emits per-batch partial top-k
+  rows — the driver (or a tiny final aggregate) merges k·#blocks rows.
+  No shuffle of the embedding table.
+- LSH-bucketed variant (scale path): random-hyperplane signatures →
+  groupby(bucket); queries search only their own bucket, trading recall
+  for touching 1/2^bits of the data.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """map_batches stage: per-batch cosine top-k against broadcast queries.
+
+    ``queries_ref`` is a ``ray.ObjectRef`` to an (nq, dim) float array
+    (ray.put once on the driver) — resolved once per actor in
+    ``__init__``, NOT re-shipped per batch. Pass a plain ndarray for
+    Ray-free unit tests.
+    """
+
+    def __init__(self, queries_ref, query_ids, k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"):
+        try:
+            import ray
+
+            if isinstance(queries_ref, ray.ObjectRef):
+                queries_ref = ray.get(queries_ref)
+        except Exception:
+            pass
+        self.q = _normalize(np.asarray(queries_ref, dtype=np.float64))
+        self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        mat = _normalize(mat)
+        sims = self.q @ mat.T  # (nq, nbatch)
+        qid_out, nid_out, sim_out = [], [], []
+        k = min(self.k + 1, sims.shape[1])  # +1: a query may meet itself
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            top = np.argpartition(-row, k - 1)[:k]
+            for j in top:
+                qid_out.append(self.query_ids[qi])
+                nid_out.append(ids[j])
+                sim_out.append(row[j])
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.int64()),
+                "nid": pa.array(nid_out, pa.int64()),
+                "sim": pa.array(sim_out, pa.float64()),
+            }
+        )
+
+
+def merge_topk(partials: pd.DataFrame, k: int = 10, exclude_self: bool = True) -> pd.DataFrame:
+    """Merge per-batch partial top-k rows → final (qid, nid, rank)."""
+    df = partials
+    if exclude_self:
+        df = df[df["qid"] != df["nid"]]
+    df = df.sort_values(["qid", "sim", "nid"], ascending=[True, False, True], kind="stable")
+    df = df.groupby("qid", sort=True).head(k).copy()
+    df["rank"] = df.groupby("qid").cumcount() + 1
+    return df[["qid", "nid", "rank"]].reset_index(drop=True)
+
+
+class LshBucketer:
+    """Scale path: random-hyperplane LSH bucket id per vector.
+
+    Vectors (and queries) sharing a bucket are candidates; a groupby on
+    ``bucket`` co-locates them so each bucket is searched independently.
+    """
+
+    def __init__(self, dim: int, bits: int = 8, seed: int = 11, vec_col: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((bits, dim))
+        self.vec_col = vec_col
+
+    def bucket_of(self, mat: np.ndarray) -> np.ndarray:
+        signs = (mat @ self.planes.T) > 0
+        return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        return batch.append_column("bucket", pa.array(self.bucket_of(mat), pa.int64()))

@@ -1,0 +1,223 @@
+"""Compiled per-table row decoders (the decode hot path).
+
+``parse_column_value`` (event_codec) dispatches through a long type
+if-chain per value — correct but ~4µs/value. For row events the column
+layout is fixed per TABLE_MAP, so we compile a list of per-column
+closures once per (table_id, types, meta) and reuse it for every row:
+specialized fast bodies for the hot types (VARCHAR/ints/floats), a
+generic fallback wrapping parse_column_value for the long tail.
+
+Two value modes:
+- ``tagged``: identical output to event_codec (envelope parity);
+- ``plain``: typed-path values (str/int/float/bytes — no tag tuples,
+  no post-hoc untag pass).
+
+Equality of fast vs generic decode is pinned by tests
+(tests/test_fast_decode.py).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Callable
+
+from .constants import ColumnType, EventType
+from .event_codec import (
+    TableMetadata,
+    parse_column_value,
+    read_lenc_int,
+)
+
+_unpack_h = struct.Struct("<h").unpack_from
+_unpack_i = struct.Struct("<i").unpack_from
+_unpack_q = struct.Struct("<q").unpack_from
+_unpack_f = struct.Struct("<f").unpack_from
+_unpack_d = struct.Struct("<d").unpack_from
+_unpack_H = struct.Struct("<H").unpack_from
+
+Decoder = Callable[[bytes, int], tuple[object, int]]
+
+
+def _make_varchar(meta: int, plain: bool) -> Decoder:
+    if meta < 256:
+        if plain:
+            def f(data, pos):
+                ln = data[pos]
+                pos += 1
+                end = pos + ln
+                return data[pos:end].decode("utf-8", "replace"), end
+        else:
+            def f(data, pos):
+                ln = data[pos]
+                pos += 1
+                end = pos + ln
+                return ("str", bytes(data[pos:end])), end
+    else:
+        if plain:
+            def f(data, pos):
+                ln = data[pos] | (data[pos + 1] << 8)
+                pos += 2
+                end = pos + ln
+                return data[pos:end].decode("utf-8", "replace"), end
+        else:
+            def f(data, pos):
+                ln = data[pos] | (data[pos + 1] << 8)
+                pos += 2
+                end = pos + ln
+                return ("str", bytes(data[pos:end])), end
+    return f
+
+
+def _plainify(v):
+    """Tagged value → plain value (mirrors stages.decode._untag)."""
+    if v is None or isinstance(v, (int, float)):
+        return v
+    tag = v[0]
+    if tag in ("str",):
+        return v[1].decode("utf-8", "replace")
+    if tag in ("blob",):
+        return v[1]
+    if tag in ("dec", "json"):
+        return v[1]
+    if tag == "ts":
+        return v[1]
+    if tag == "dt":
+        _, y, mo, d, h, mi, s, us = v
+        if us:
+            return f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}.{us:06d}"
+        return f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+    if tag == "dur":
+        _, neg, _days, h, mi, s, us = v
+        sign = "-" if neg else ""
+        return f"{sign}{h:02d}:{mi:02d}:{s:02d}.{us:06d}" if us else f"{sign}{h:02d}:{mi:02d}:{s:02d}"
+    return v[1]
+
+
+def make_column_decoder(col_type: int, meta: int, plain: bool) -> Decoder:
+    t = col_type
+    if t in (ColumnType.VARCHAR, ColumnType.VAR_STRING):
+        return _make_varchar(meta, plain)
+    if t == ColumnType.LONG:
+        def f(data, pos):
+            return _unpack_i(data, pos)[0], pos + 4
+        return f
+    if t == ColumnType.LONGLONG:
+        def f(data, pos):
+            return _unpack_q(data, pos)[0], pos + 8
+        return f
+    if t == ColumnType.SHORT:
+        def f(data, pos):
+            return _unpack_h(data, pos)[0], pos + 2
+        return f
+    if t == ColumnType.TINY:
+        def f(data, pos):
+            v = data[pos]
+            return (v - 256 if v >= 128 else v), pos + 1
+        return f
+    if t == ColumnType.FLOAT:
+        def f(data, pos):
+            return _unpack_f(data, pos)[0], pos + 4
+        return f
+    if t == ColumnType.DOUBLE:
+        def f(data, pos):
+            return _unpack_d(data, pos)[0], pos + 8
+        return f
+
+    # long tail: wrap the generic decoder (optionally plainified)
+    if plain:
+        def f(data, pos, _t=t, _m=meta):
+            v, pos = parse_column_value(data, pos, _t, _m)
+            return _plainify(v), pos
+    else:
+        def f(data, pos, _t=t, _m=meta):
+            return parse_column_value(data, pos, _t, _m)
+    return f
+
+
+class CompiledTableDecoder:
+    """Per-(types, meta) compiled row-event decoder."""
+
+    def __init__(self, column_types: list[int], column_meta: list[int], plain: bool):
+        self.decoders = [make_column_decoder(t, m, plain) for t, m in zip(column_types, column_meta)]
+        self.ncols = len(self.decoders)
+
+    def parse_image(self, data: bytes, pos: int) -> tuple[list, int]:
+        """All-columns-present image (the fixture/MySQL default)."""
+        n = self.ncols
+        bitmap_len = (n + 7) // 8
+        nb = int.from_bytes(data[pos : pos + bitmap_len], "little")
+        pos += bitmap_len
+        decoders = self.decoders
+        if nb == 0:
+            values = [None] * n
+            for i in range(n):
+                values[i], pos = decoders[i](data, pos)
+            return values, pos
+        values = [None] * n
+        for i in range(n):
+            if (nb >> i) & 1:
+                continue
+            values[i], pos = decoders[i](data, pos)
+        return values, pos
+
+
+def parse_row_event_fast(
+    event_type: int,
+    data: bytes,
+    table_meta: TableMetadata,
+    post_header_len: bytes | None,
+    compiled: CompiledTableDecoder,
+) -> list[tuple]:
+    """Row event → [(before, after), ...] using the compiled decoder.
+
+    Falls back to requiring all columns present (bitmap all-ones) — the
+    layout MySQL row events use with full row images (binlog_row_image
+    = FULL, and our fixtures). Partial-presence events raise so callers
+    can retry with the generic path.
+    """
+    pos = 8  # table_id(6) + flags(2)
+    is_v2 = False
+    if post_header_len is not None and 0 < event_type <= len(post_header_len):
+        is_v2 = post_header_len[event_type - 1] == 10
+    if is_v2:
+        var_header_len = _unpack_H(data, pos)[0]
+        pos += max(var_header_len, 2)
+        _, pos = read_lenc_int(data, pos)
+
+    n = table_meta.column_count
+    bitmap_len = (n + 7) // 8
+    full_mask = (1 << n) - 1
+
+    present = int.from_bytes(data[pos : pos + bitmap_len], "little") & full_mask
+    pos += bitmap_len
+    if event_type in (EventType.UPDATE_ROWS_EVENT, EventType.UPDATE_ROWS_EVENT_V0, EventType.PARTIAL_UPDATE_ROWS_EVENT):
+        dml = 1
+        present_after = int.from_bytes(data[pos : pos + bitmap_len], "little") & full_mask
+        pos += bitmap_len
+        if present_after != full_mask:
+            raise ValueError("partial column presence: use generic decoder")
+    elif event_type in (EventType.DELETE_ROWS_EVENT, EventType.DELETE_ROWS_EVENT_V0):
+        dml = 2
+    else:
+        dml = 0
+    if present != full_mask:
+        raise ValueError("partial column presence: use generic decoder")
+
+    parse_image = compiled.parse_image
+    rows: list[tuple] = []
+    append = rows.append
+    end = len(data)
+    if dml == 0:  # INSERT
+        while pos < end:
+            after, pos = parse_image(data, pos)
+            append((None, after))
+    elif dml == 2:  # DELETE
+        while pos < end:
+            before, pos = parse_image(data, pos)
+            append((before, None))
+    else:  # UPDATE
+        while pos < end:
+            before, pos = parse_image(data, pos)
+            after, pos = parse_image(data, pos)
+            append((before, after))
+    return rows

@@ -17,6 +17,7 @@ Formatting rules preserved:
 from __future__ import annotations
 
 from datetime import datetime, timezone
+from json.encoder import encode_basestring as _encode_basestring
 
 _ESCAPES = {
     ord('"'): '\\"',
@@ -36,7 +37,20 @@ def _fmt_number(v) -> str:
 
 
 def escape_json_string(raw: bytes) -> str:
-    """JSON-escape raw bytes, validating UTF-8 sequences as the reference does."""
+    """JSON-escape raw bytes, validating UTF-8 sequences as the reference does.
+
+    Fast path: strictly-valid UTF-8 goes through ``json.dumps`` (C
+    speed), whose escaping rules match the reference for valid text
+    (\\" \\\\ \\n \\r \\t, \\u00XX for other control chars, multi-byte
+    passthrough). Invalid bytes fall back to the byte-at-a-time escape.
+    """
+    try:
+        return _encode_basestring(raw.decode("utf-8", "strict"))
+    except UnicodeDecodeError:
+        return _escape_json_bytes_slow(raw)
+
+
+def _escape_json_bytes_slow(raw: bytes) -> str:
     out = ['"']
     i = 0
     n = len(raw)
@@ -110,6 +124,15 @@ def format_value(v) -> str:
 def serialize_row(values: list) -> str:
     """Values → ``{"c0":…,"c1":…}`` with positional keys."""
     parts = []
+    append = parts.append
     for i, v in enumerate(values):
-        parts.append(f'"c{i}":{format_value(v)}')
+        # inline the hot cases (NULL, int, tagged str); rest dispatch
+        if v is None:
+            append(f'"c{i}":null')
+        elif type(v) is int:
+            append(f'"c{i}":{v}')
+        elif type(v) is tuple and v[0] == "str":
+            append(f'"c{i}":{escape_json_string(v[1])}')
+        else:
+            append(f'"c{i}":{format_value(v)}')
     return "{" + ",".join(parts) + "}"

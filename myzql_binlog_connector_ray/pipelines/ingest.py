@@ -38,6 +38,22 @@ REPOS_TYPED_TYPES = {
 FINAL_COLUMNS = ["repo", "path", "commit", "lang", "content", "stars", "content_sha256"]
 
 
+def auto_concurrency(concurrency=None):
+    """Actor-pool sizing that cannot starve the read/shuffle stages.
+
+    An exact pool of size == cluster CPUs deadlocks the pipeline (the
+    pool reserves every CPU, the upstream read task never schedules).
+    Returns an autoscaling (1, max) pool bounded at cluster CPUs − 2.
+    """
+    if concurrency is not None:
+        return concurrency
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(2, cpus - 2))
+
+
 def read_segments(segment_paths: list[str]) -> ray.data.Dataset:
     """One input row (and roughly one block) per self-contained segment file."""
     return ray.data.read_binary_files(segment_paths, include_paths=True)
@@ -50,7 +66,7 @@ def decode_envelope(
     exclude: Optional[list[str]] = None,
     min_ordinal: Optional[int] = None,
     max_ordinal: Optional[int] = None,
-    concurrency: int = 4,
+    concurrency=None,
 ) -> ray.data.Dataset:
     """Segments → the reference's 9-column envelope (+ segment, ordinal)."""
     return segments.map_batches(
@@ -64,7 +80,7 @@ def decode_envelope(
         ),
         batch_size=1,  # one segment per call: the segment is the decode unit
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=auto_concurrency(concurrency),
         zero_copy_batch=True,
     )
 
@@ -77,7 +93,7 @@ def decode_typed(
     typed_types: Optional[dict] = None,
     min_ordinal: Optional[int] = None,
     max_ordinal: Optional[int] = None,
-    concurrency: int = 4,
+    concurrency=None,
 ) -> ray.data.Dataset:
     """Segments → typed change rows for one table (no JSON detour)."""
     return segments.map_batches(
@@ -92,7 +108,7 @@ def decode_typed(
         ),
         batch_size=1,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=auto_concurrency(concurrency),
         zero_copy_batch=True,
     )
 
@@ -153,7 +169,7 @@ def run_ingest(
     *,
     num_partitions: int = 32,
     target_table: tuple[str, str] = ("app", "repos"),
-    concurrency: int = 4,
+    concurrency=None,
     min_ordinal: Optional[int] = None,
     max_ordinal: Optional[int] = None,
 ) -> list[dict]:

@@ -45,6 +45,7 @@ from ..kernel.event_codec import (
     parse_row_event,
     parse_table_map,
 )
+from ..kernel.fast_decode import CompiledTableDecoder, parse_row_event_fast
 from ..kernel.row_json import serialize_row
 from ..kernel.table_filter import TableFilter
 
@@ -120,6 +121,17 @@ class SegmentDecoder:
         self.typed_types = typed_types or {}
         # per-actor metrics (reference: src/metrics.zig:25-46)
         self.metrics = {"events": 0, "rows": 0, "filtered_tables": 0, "segments": 0}
+        # compiled row decoders, cached per column layout (survives the
+        # TABLE_MAP-per-transaction re-emission MySQL does)
+        self._compiled: dict[tuple, CompiledTableDecoder] = {}
+
+    def _compiled_for(self, tm) -> CompiledTableDecoder:
+        key = (tuple(tm.column_types), tuple(tm.column_meta))
+        dec = self._compiled.get(key)
+        if dec is None:
+            dec = CompiledTableDecoder(tm.column_types, tm.column_meta, plain=(self.mode == "typed"))
+            self._compiled[key] = dec
+        return dec
 
     # -- per-segment decode ------------------------------------------------
 
@@ -163,7 +175,23 @@ class SegmentDecoder:
                     continue
                 if self.target_table is not None and (tm.database_name, tm.table_name) != self.target_table:
                     continue
-                rows = parse_row_event(et, ev.data, tm, post_header_len)
+                try:
+                    rows = parse_row_event_fast(
+                        et, ev.data, tm, post_header_len, self._compiled_for(tm)
+                    )
+                except ValueError:
+                    # partial column presence → generic decoder
+                    pairs = parse_row_event(et, ev.data, tm, post_header_len)
+                    if self.mode == "typed":
+                        rows = [
+                            (
+                                None if p.before is None else [_untag(v) for v in p.before],
+                                None if p.after is None else [_untag(v) for v in p.after],
+                            )
+                            for p in pairs
+                        ]
+                    else:
+                        rows = [(p.before, p.after) for p in pairs]
                 self.metrics["rows"] += len(rows)
                 sink(name, ev, ordinal, tm, _dml_name(et), rows)
 
@@ -185,7 +213,7 @@ class SegmentDecoder:
             import os
 
             seg = os.path.basename(name)
-            for idx, pair in enumerate(rows):
+            for idx, (before, after) in enumerate(rows):
                 cols["timestamp"].append(ev.timestamp)
                 cols["server_id"].append(ev.server_id)
                 cols["log_pos"].append(ev.log_pos)
@@ -193,8 +221,8 @@ class SegmentDecoder:
                 cols["database"].append(tm.database_name)
                 cols["table_name"].append(tm.table_name)
                 cols["dml_type"].append(dml)
-                cols["before_values"].append(None if pair.before is None else serialize_row(pair.before))
-                cols["after_values"].append(None if pair.after is None else serialize_row(pair.after))
+                cols["before_values"].append(None if before is None else serialize_row(before))
+                cols["after_values"].append(None if after is None else serialize_row(after))
                 cols["segment"].append(seg)
                 cols["ordinal"].append(ordinal)
 
@@ -222,15 +250,20 @@ class SegmentDecoder:
             import os
 
             seg = os.path.basename(name)
-            for idx, pair in enumerate(rows):
-                image = pair.after if pair.after is not None else pair.before
-                data["segment"].append(seg)
-                data["ordinal"].append(ordinal)
-                data["event_row_index"].append(idx + 1)
-                data["dml"].append(dml)
+            seg_l = data["segment"]
+            ord_l = data["ordinal"]
+            eri_l = data["event_row_index"]
+            dml_l = data["dml"]
+            col_lists = [data[c] for c in col_names]
+            for idx, (before, after) in enumerate(rows):
+                image = after if after is not None else before
+                seg_l.append(seg)
+                ord_l.append(ordinal)
+                eri_l.append(idx + 1)
+                dml_l.append(dml)
+                ni = len(image)
                 for i in range(ncols):
-                    v = image[i] if i < len(image) else None
-                    data[col_names[i]].append(_untag(v))
+                    col_lists[i].append(image[i] if i < ni else None)
 
         for name, blob in zip(names, blobs):
             self._decode_segment(name, blob, sink)

@@ -1,0 +1,169 @@
+"""Unit tests for training-data operators (no Ray needed)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from myzql_binlog_connector_ray.functions.ann import BruteForceTopK, LshBucketer, merge_topk
+from myzql_binlog_connector_ray.functions.dedup import (
+    MinHasher,
+    add_content_hash,
+    add_simhash,
+    band_bucket_pairs,
+    ngram_jaccard,
+    simhash64,
+)
+from myzql_binlog_connector_ray.functions.multimodal import (
+    DecodeStub,
+    payload_stats,
+    text_to_media_batch,
+)
+from myzql_binlog_connector_ray.functions.text import (
+    LanguageId,
+    QualityScorer,
+    rolling_fingerprint,
+    token_count_batch,
+)
+
+
+def _docs_batch():
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps over the lazy dog and runs away fast",
+                    "the quick brown fox jumps over the lazy dog and runs away fast",
+                    "el perro corre por la calle y salta sobre el gato que duerme",
+                    "completely different content about databases and storage engines here",
+                ]
+            ),
+        }
+    )
+
+
+def test_content_hash_dedup_groups():
+    out = add_content_hash(_docs_batch())
+    h = out["content_hash"].to_pylist()
+    assert h[0] == h[1] and h[0] != h[2]
+
+
+def test_minhash_identical_docs_share_all_bands():
+    mh = MinHasher(num_perm=64, num_bands=8)
+    batch = _docs_batch()
+    out = mh(batch).to_pandas()
+    b1 = out[out.doc_id == 1].sort_values("band")["band_hash"].tolist()
+    b2 = out[out.doc_id == 2].sort_values("band")["band_hash"].tolist()
+    b4 = out[out.doc_id == 4].sort_values("band")["band_hash"].tolist()
+    assert b1 == b2
+    assert b1 != b4
+
+
+def test_minhash_near_dup_shares_some_bands():
+    mh = MinHasher(num_perm=128, num_bands=32)
+    text = "word" + " tokens more" * 50
+    near = text + " tail"
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array([text, near])})
+    out = mh(batch).to_pandas()
+    merged = out[out.doc_id == 1].merge(out[out.doc_id == 2], on=["band", "band_hash"])
+    assert len(merged) > 0  # at least one colliding band → candidate pair
+
+
+def test_band_bucket_pairs():
+    g = pd.DataFrame({"doc_id": [3, 1, 2], "band": 0, "band_hash": 9})
+    pairs = band_bucket_pairs(g)
+    assert sorted(map(tuple, pairs.values.tolist())) == [(1, 2), (1, 3), (2, 3)]
+    single = band_bucket_pairs(pd.DataFrame({"doc_id": [1], "band": 0, "band_hash": 9}))
+    assert len(single) == 0
+
+
+def test_ngram_jaccard():
+    a = "one two three four five six seven eight nine ten"
+    assert ngram_jaccard(a, a) == 1.0
+    assert ngram_jaccard(a, "totally different words here entirely now ok yes no maybe") == 0.0
+    assert 0.0 < ngram_jaccard(a, a + " eleven") < 1.0
+
+
+def test_simhash_properties():
+    a = simhash64("the quick brown fox " * 20)
+    b = simhash64("the quick brown fox " * 20)
+    c = simhash64("completely different text about other things " * 20)
+    assert a == b
+    ham = bin(a ^ c).count("1")
+    assert ham > 4
+    out = add_simhash(_docs_batch())
+    assert out["simhash"].to_pylist()[0] == out["simhash"].to_pylist()[1]
+
+
+def test_token_count_batch():
+    out = token_count_batch(_docs_batch())
+    texts = _docs_batch()["text"].to_pylist()
+    assert out["n_tokens"].to_pylist() == [len(t.split()) for t in texts]
+
+
+def test_language_id():
+    lid = LanguageId()
+    assert lid.classify("the cat and the dog sat in the house for a while") == "en"
+    assert lid.classify("el gato y el perro en la casa por un rato se quedan") == "es"
+    assert lid.classify("der Hund und die Katze sind in den Haus mit dem Mann") == "de"
+    assert lid.classify("今天天气很好我们一起去公园散步吧") == "zh"
+
+
+def test_quality_scorer():
+    qs = QualityScorer()
+    out = qs(_docs_batch()).to_pandas()
+    assert (out["q_tokens"] > 0).all()
+    assert ((out["q_alpha_ratio"] > 0) & (out["q_alpha_ratio"] <= 1)).all()
+    assert out.loc[0, "q_stop_ratio"] > 0  # English text has stopwords
+
+
+def test_rolling_fingerprint_deterministic():
+    t = "some document content that is long enough for several windows"
+    assert rolling_fingerprint(t) == rolling_fingerprint(t)
+    assert rolling_fingerprint("ab") != rolling_fingerprint("cd")
+
+
+def test_brute_force_topk_and_merge():
+    rng = np.random.RandomState(3)
+    mat = rng.standard_normal((50, 8))
+    mat[7] = mat[3] * 2.0  # same direction as vec 3 → cosine 1
+    batch = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in mat], pa.list_(pa.float64())),
+        }
+    )
+    topk = BruteForceTopK(mat[3:4], [3], k=5)
+    partial = topk(batch).to_pandas()
+    final = merge_topk(partial, k=5)
+    assert final.iloc[0]["nid"] == 7  # exact-direction duplicate ranks first
+    assert final["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_lsh_bucketer_groups_similar():
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal(16)
+    mat = np.stack([base, base * 3.0, -base])
+    b = LshBucketer(dim=16, bits=6)
+    buckets = b.bucket_of(mat)
+    assert buckets[0] == buckets[1]  # same direction → same hyperplane signs
+    assert buckets[0] != buckets[2]  # opposite direction → complement
+
+
+def test_multimodal_stub():
+    media = text_to_media_batch(_docs_batch())
+    assert media.schema.field("payload").type == pa.binary()
+    stats = payload_stats(media).to_pandas()
+    assert (stats["payload_bytes"] > 0).all()
+
+    with pytest.raises(NotImplementedError):
+        DecodeStub(fake=False)._decode(b"x", "image")
+
+    feats = DecodeStub(dim=8, fake=True)(media)
+    assert "payload" not in feats.column_names
+    vals = feats["features"].to_pylist()
+    assert all(len(v) == 8 for v in vals)
+    # deterministic: same payload → same features
+    feats2 = DecodeStub(dim=8, fake=True)(media)
+    assert vals == feats2["features"].to_pylist()

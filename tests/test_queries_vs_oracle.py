@@ -1,0 +1,123 @@
+"""Driver-gate rehearsal: every queries() entry with an oracle_sql()
+runs at sf0.001 and must match DuckDB row-for-row (order-insensitive,
+columns aligned by name) — the same comparison CORRECTNESS_r{N}.json
+records at sf0.01."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.sql(sql).df()
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]) or pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        else:
+            df[c] = df[c].astype("string")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+SQL_CHECKED = [
+    "lake_upsert_lww",
+    "changes_count_by_dml",
+    "table_filter_app_only",
+    "ordinal_range_waves12",
+    "envelope_counters_inserts",
+    "dedup_exact",
+    "token_count_by_lang",
+    "quality_stats_by_source",
+    "lang_distribution",
+    "ann_topk_bruteforce",
+    "binary_payload_stats",
+]
+
+ROWS_ONLY = [
+    "ingest_exactly_once",
+    "minhash_dup_candidates",
+    "simhash_fingerprints",
+    "language_id_predictions",
+    "doc_fingerprints",
+    "ann_topk_lsh",
+    "multimodal_decode_fake",
+]
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as m
+
+    return m
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(entrymod, sf_dir, name):
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = _normalize(_to_pandas(fn(sf_dir)))
+    want = _normalize(_oracle(sf_dir, sql))
+    assert list(got.columns) == list(want.columns), (list(got.columns), list(want.columns))
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(entrymod, sf_dir, name):
+    fn = entrymod.queries()[name]
+    df = _to_pandas(fn(sf_dir))
+    assert len(df) >= 0
+    assert len(df.columns) > 0
+
+
+def test_every_oracle_key_has_query(entrymod):
+    q = set(entrymod.queries().keys())
+    o = set(entrymod.oracle_sql().keys())
+    assert o <= q
+
+
+def test_entry_smoke(entrymod):
+    import ray.data
+
+    result = entrymod.entry()
+    assert isinstance(result, (ray.data.Dataset, pd.DataFrame))
+    df = _to_pandas(result)
+    assert len(df) > 0
+    assert "content_sha256" in df.columns

@@ -94,8 +94,15 @@ def decode_typed(
     min_ordinal: Optional[int] = None,
     max_ordinal: Optional[int] = None,
     concurrency=None,
+    dedup_keys: Optional[list[str]] = None,
+    num_partitions: Optional[int] = None,
 ) -> ray.data.Dataset:
-    """Segments → typed change rows for one table (no JSON detour)."""
+    """Segments → typed change rows for one table (no JSON detour).
+
+    With ``dedup_keys``/``num_partitions`` set, the decoder also runs
+    the fused LWW combiner (latest change per key per segment) and
+    stamps the hash-partition column — one pass, no extra stage.
+    """
     return segments.map_batches(
         SegmentDecoder,
         fn_constructor_kwargs=dict(
@@ -105,6 +112,8 @@ def decode_typed(
             typed_types=typed_types or REPOS_TYPED_TYPES,
             min_ordinal=min_ordinal,
             max_ordinal=max_ordinal,
+            dedup_keys=dedup_keys,
+            num_partitions=num_partitions,
         ),
         batch_size=1,
         batch_format="pyarrow",
@@ -143,15 +152,24 @@ def apply_changes(
     num_partitions: int = 32,
     write: bool = False,
     final_columns: Optional[list[str]] = None,
+    pre_partitioned: bool = False,
 ) -> ray.data.Dataset:
-    """Typed change rows → final lake state (or commit summaries if write=True)."""
-    ds = changes.map_batches(
-        add_partition,
-        fn_kwargs=dict(num_partitions=num_partitions),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    ds = ds.map_batches(lww_combine, batch_format="pyarrow")
+    """Typed change rows → final lake state (or commit summaries if write=True).
+
+    ``pre_partitioned=True`` means the decoder already deduped per key
+    and stamped ``part`` (decode_typed dedup_keys/num_partitions) — the
+    standalone combiner stages are skipped.
+    """
+    if pre_partitioned:
+        ds = changes
+    else:
+        ds = changes.map_batches(
+            add_partition,
+            fn_kwargs=dict(num_partitions=num_partitions),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        ds = ds.map_batches(lww_combine, batch_format="pyarrow")
     return ds.groupby("part").map_groups(
         partial(
             apply_partition_group,
@@ -186,12 +204,15 @@ def run_ingest(
         concurrency=concurrency,
         min_ordinal=min_ordinal,
         max_ordinal=max_ordinal,
+        dedup_keys=["repo", "path"],
+        num_partitions=num_partitions,
     )
     summaries = apply_changes(
         changes,
         lake_dir=lake_dir,
         num_partitions=num_partitions,
         write=True,
+        pre_partitioned=True,
     )
     return summaries.take_all()  # small: one row per partition
 

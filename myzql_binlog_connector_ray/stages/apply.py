@@ -62,6 +62,8 @@ def lww_combine(batch: pa.Table) -> pa.Table:
 
     Associative pre-reduce of the LWW fold — run before the groupby so
     the all-to-all exchange ships at most one row per key per block.
+    Sort is over the two int order columns only (never the long string
+    keys — drop_duplicates hash-dedups those at C speed).
     """
     df = batch.to_pandas()
     df = df.sort_values(ORDER_COLS, kind="stable")
@@ -75,7 +77,13 @@ def sha256_hex(values) -> list[str]:
 
 def _lww_fold(base: Optional[pd.DataFrame], changes: pd.DataFrame) -> pd.DataFrame:
     """Merge base partition rows with change rows; last writer (by
-    ordinal, event_row_index) wins; DELETE drops the key."""
+    ordinal, event_row_index) wins; DELETE drops the key.
+
+    Sorts touch only the int order columns: changes reduce to one row
+    per key (sort by ordinal → hash-dedup keep last), then base rows
+    are concatenated *first* so a second keep-last dedup lets any
+    change row supersede its base row. No string-key sort anywhere.
+    """
     changes = changes.sort_values(ORDER_COLS, kind="stable").drop_duplicates(KEY_COLS, keep="last")
     if base is not None and len(base):
         base = base.copy()
@@ -84,10 +92,9 @@ def _lww_fold(base: Optional[pd.DataFrame], changes: pd.DataFrame) -> pd.DataFra
         base["dml"] = "BASE"
         # schema evolution: unify columns (new columns → NA on old rows)
         merged = pd.concat([base, changes], ignore_index=True, sort=False)
+        merged = merged.drop_duplicates(KEY_COLS, keep="last")
     else:
         merged = changes
-    merged = merged.sort_values(KEY_COLS + ORDER_COLS, kind="stable")
-    merged = merged.drop_duplicates(KEY_COLS, keep="last")
     merged = merged[merged["dml"] != "DELETE"]
     return merged
 
@@ -129,7 +136,14 @@ class ApplyPartition:
     def _finalize(self, df: pd.DataFrame) -> pd.DataFrame:
         drop = [c for c in ("ordinal", "event_row_index", "dml", "segment", "part") if c in df.columns]
         out = df.drop(columns=drop)
-        out["content_sha256"] = sha256_hex(out["content"].tolist())
+        # hash only rows that don't already carry a sha (base lake rows do;
+        # at scale most of a partition is unchanged — never re-hash it)
+        if "content_sha256" in out.columns:
+            need = out["content_sha256"].isna()
+            if need.any():
+                out.loc[need, "content_sha256"] = sha256_hex(out.loc[need, "content"].tolist())
+        else:
+            out["content_sha256"] = sha256_hex(out["content"].tolist())
         if self.final_columns:
             for c in self.final_columns:
                 if c not in out.columns:

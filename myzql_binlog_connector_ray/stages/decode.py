@@ -110,6 +110,8 @@ class SegmentDecoder:
         min_ordinal: Optional[int] = None,
         max_ordinal: Optional[int] = None,
         typed_types: Optional[dict[str, pa.DataType]] = None,
+        dedup_keys: Optional[list[str]] = None,
+        num_partitions: Optional[int] = None,
     ):
         assert mode in ("envelope", "typed")
         self.mode = mode
@@ -119,6 +121,13 @@ class SegmentDecoder:
         self.min_ordinal = min_ordinal
         self.max_ordinal = max_ordinal
         self.typed_types = typed_types or {}
+        # typed-mode fused LWW pre-dedup: events are scanned in ordinal
+        # order within a segment, so a dict overwrite keyed on the key
+        # columns keeps exactly the latest change per key per batch —
+        # the shuffle then ships ≤1 row/key/segment (incl. DELETE
+        # tombstones) instead of every event.
+        self.dedup_keys = dedup_keys
+        self.num_partitions = num_partitions
         # per-actor metrics (reference: src/metrics.zig:25-46)
         self.metrics = {"events": 0, "rows": 0, "filtered_tables": 0, "segments": 0}
         # compiled row decoders, cached per column layout (survives the
@@ -242,19 +251,39 @@ class SegmentDecoder:
         assert self.target_table is not None, "typed mode requires target_table"
         col_names = list(self.registry.get(self.target_table, []))
         ncols = len(col_names)
-        data: dict[str, list] = {n: [] for n in ("segment", "ordinal", "event_row_index", "dml")}
-        for c in col_names:
-            data[c] = []
+
+        if self.dedup_keys:
+            rows_out = self._typed_collect_dedup(names, blobs, col_names, ncols)
+        else:
+            rows_out = self._typed_collect_all(names, blobs, col_names, ncols)
+
+        seg_l, ord_l, eri_l, dml_l, col_lists = rows_out
+        out = {
+            "segment": pa.array(seg_l, pa.string()),
+            "ordinal": pa.array(ord_l, pa.int64()),
+            "event_row_index": pa.array(eri_l, pa.int64()),
+            "dml": pa.array(dml_l, pa.string()),
+        }
+        for i, c in enumerate(col_names):
+            out[c] = pa.array(col_lists[i], type=self.typed_types.get(c))
+        table = pa.table(out)
+        if self.num_partitions is not None and "repo" in out and "path" in out:
+            from .apply import add_partition
+
+            table = add_partition(table, self.num_partitions)
+        return table
+
+    def _typed_collect_all(self, names, blobs, col_names, ncols):
+        seg_l: list = []
+        ord_l: list = []
+        eri_l: list = []
+        dml_l: list = []
+        col_lists: list[list] = [[] for _ in range(ncols)]
 
         def sink(name, ev, ordinal, tm, dml, rows):
             import os
 
             seg = os.path.basename(name)
-            seg_l = data["segment"]
-            ord_l = data["ordinal"]
-            eri_l = data["event_row_index"]
-            dml_l = data["dml"]
-            col_lists = [data[c] for c in col_names]
             for idx, (before, after) in enumerate(rows):
                 image = after if after is not None else before
                 seg_l.append(seg)
@@ -267,13 +296,40 @@ class SegmentDecoder:
 
         for name, blob in zip(names, blobs):
             self._decode_segment(name, blob, sink)
+        return seg_l, ord_l, eri_l, dml_l, col_lists
 
-        out = {
-            "segment": pa.array(data["segment"], pa.string()),
-            "ordinal": pa.array(data["ordinal"], pa.int64()),
-            "event_row_index": pa.array(data["event_row_index"], pa.int64()),
-            "dml": pa.array(data["dml"], pa.string()),
-        }
-        for c in col_names:
-            out[c] = pa.array(data[c], type=self.typed_types.get(c))
-        return pa.table(out)
+    def _typed_collect_dedup(self, names, blobs, col_names, ncols):
+        """Latest change per key via dict overwrite (fused LWW combiner)."""
+        key_idx = [col_names.index(k) for k in self.dedup_keys]
+        store: dict = {}
+
+        def sink(name, ev, ordinal, tm, dml, rows):
+            import os
+
+            seg = os.path.basename(name)
+            for idx, (before, after) in enumerate(rows):
+                image = after if after is not None else before
+                key = tuple(image[i] if i < len(image) else None for i in key_idx)
+                prev = store.get(key)
+                # events arrive in ordinal order per segment; the guard
+                # keeps correctness if a batch mixes segments out of order
+                if prev is None or (ordinal, idx + 1) >= (prev[1], prev[2]):
+                    store[key] = (seg, ordinal, idx + 1, dml, image)
+
+        for name, blob in zip(names, blobs):
+            self._decode_segment(name, blob, sink)
+
+        seg_l: list = []
+        ord_l: list = []
+        eri_l: list = []
+        dml_l: list = []
+        col_lists: list[list] = [[] for _ in range(ncols)]
+        for seg, ordinal, eri, dml, image in store.values():
+            seg_l.append(seg)
+            ord_l.append(ordinal)
+            eri_l.append(eri)
+            dml_l.append(dml)
+            ni = len(image)
+            for i in range(ncols):
+                col_lists[i].append(image[i] if i < ni else None)
+        return seg_l, ord_l, eri_l, dml_l, col_lists

@@ -37,6 +37,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": api.lang_distribution,
         "ann_topk_bruteforce": api.ann_topk_bruteforce,
         "binary_payload_stats": api.binary_payload_stats,
+        # relational operators (joins, windows, top-k)
+        "lineitem_pricing_summary": api.lineitem_pricing_summary,
+        "revenue_by_brand": api.revenue_by_brand,
+        "order_priority_revenue": api.order_priority_revenue,
+        "asof_last_event_per_order": api.asof_last_event_per_order,
+        "events_tumbling_window": api.events_tumbling_window,
+        "events_sessionize": api.events_sessionize,
+        "top_revenue_orders": api.top_revenue_orders,
         # non-SQL-expressible (rows-only checks)
         "minhash_dup_candidates": api.minhash_dup_candidates,
         "simhash_fingerprints": api.simhash_fingerprints,
@@ -44,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": api.doc_fingerprints,
         "ann_topk_lsh": api.ann_topk_lsh,
         "multimodal_decode_fake": api.multimodal_decode_fake,
+        "embedding_near_dup_pairs": api.embedding_near_dup_pairs,
     }
 
 
@@ -151,5 +160,67 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
             FROM documents GROUP BY 1
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_brand": """
+            SELECT p_brand,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "order_priority_revenue": """
+            SELECT o_orderpriority,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_items
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "asof_last_event_per_order": """
+            SELECT o.o_orderkey, e.event_id
+            FROM orders o ASOF LEFT JOIN events e
+              ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+        """,
+        "events_tumbling_window": """
+            SELECT user_id,
+                   CAST((epoch_us(ts) // 1000000 // 3600) * 3600 AS BIGINT) AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_value
+            FROM events GROUP BY user_id, window_start
+        """,
+        "events_sessionize": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+                     lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts) AS prev_sec
+              FROM events
+            ), s AS (
+              SELECT user_id, sec,
+                     sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e
+            )
+            SELECT user_id,
+                   CAST(min(sec) AS BIGINT) AS session_start,
+                   CAST(max(sec) AS BIGINT) AS session_end,
+                   count(*) AS n_events,
+                   CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+            FROM s GROUP BY user_id, sid
+        """,
+        "top_revenue_orders": """
+            SELECT CAST(row_number() OVER (ORDER BY revenue_cents DESC, o_orderkey) AS BIGINT) AS rk,
+                   o_orderkey, revenue_cents
+            FROM (
+              SELECT l_orderkey AS o_orderkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM lineitem GROUP BY l_orderkey
+            )
+            QUALIFY rk <= 10
         """,
     }

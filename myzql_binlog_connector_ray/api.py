@@ -319,3 +319,251 @@ def ingest_exactly_once(sf_dir: str, *, num_partitions: int = 16, concurrency=No
         fx["segment_paths"], lake_dir, num_partitions=num_partitions, concurrency=concurrency
     )
     return pd.DataFrame(summaries).sort_values("part").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Relational operators (joins, windows) — SQL-checked
+# --------------------------------------------------------------------------
+
+
+def _cents(batch: pa.Table, src: str, dst: str, factor: str | None = None) -> pa.Table:
+    """Exact integer cents from a 2-decimal double (float-sum-order-proof).
+
+    Uses floor(x*100 + 0.5) so the per-row rounding is bit-identical to
+    the DuckDB oracle expression (pyarrow's round() uses a different
+    half-way rule than DuckDB's)."""
+    import pyarrow.compute as pc
+
+    v = batch[src]
+    if factor is not None:
+        v = pc.multiply(v, pc.subtract(pa.scalar(1.0), batch[factor]))
+    cents = pc.cast(pc.floor(pc.add(pc.multiply(v, pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+    return batch.append_column(dst, cents)
+
+
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary (cents-exact aggregates)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    ds = ds.map_batches(
+        lambda t: _cents(_cents(t, "l_extendedprice", "base_cents"), "l_extendedprice", "disc_cents", "l_discount"),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(
+        lambda t: t.append_column("qty", pa.compute.cast(t["l_quantity"], pa.int64())),
+        batch_format="pyarrow",
+    )
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("base_cents", alias_name="sum_base_cents"),
+        Sum("disc_cents", alias_name="sum_disc_cents"),
+        Count(alias_name="n"),
+    )
+
+
+def revenue_by_brand(sf_dir: str, *, concurrency=(1, 2)):
+    """Broadcast join: part (small side, ray.put once) probed per batch."""
+    from .functions.relational import BroadcastJoiner
+
+    part_df = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    ).to_pandas().rename(columns={"p_partkey": "l_partkey"})
+    ref = ray.put(part_df)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    ds = ds.map_batches(
+        lambda t: _cents(t, "l_extendedprice", "rev_cents", "l_discount"), batch_format="pyarrow"
+    )
+    joined = ds.map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs=dict(small_ref=ref, on="l_partkey"),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+    return joined.groupby("p_brand").aggregate(
+        Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
+    )
+
+
+def order_priority_revenue(sf_dir: str, *, num_buckets: int = 16):
+    """Partitioned hash join (both sides large): orders ⋈ lineitem on
+    orderkey via bucket groupby, then revenue by order priority."""
+    from .functions.relational import bucket_join_groups, tag_and_bucket
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    lineitem = lineitem.map_batches(
+        lambda t: _cents(t, "l_extendedprice", "rev_cents", "l_discount"), batch_format="pyarrow"
+    )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        t = tag_and_bucket(t, "l", "o_orderkey", num_buckets)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "rev_cents": pa.nulls(len(t), pa.int64()),
+                "bucket": t["bucket"],
+                "side": t["side"],
+            }
+        )
+
+    def prep_lineitem(t: pa.Table) -> pa.Table:
+        t = tag_and_bucket(t.rename_columns(
+            ["o_orderkey" if c == "l_orderkey" else c for c in t.column_names]
+        ), "r", "o_orderkey", num_buckets)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": pa.nulls(len(t), pa.string()),
+                "rev_cents": t["rev_cents"],
+                "bucket": t["bucket"],
+                "side": t["side"],
+            }
+        )
+
+    both = orders.map_batches(prep_orders, batch_format="pyarrow").union(
+        lineitem.map_batches(prep_lineitem, batch_format="pyarrow")
+    )
+    joined = both.groupby("bucket").map_groups(
+        partial(bucket_join_groups, key="o_orderkey"), batch_format="pandas"
+    )
+    return joined.groupby("o_orderpriority").aggregate(
+        Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
+    )
+
+
+def asof_last_event_per_order(sf_dir: str, *, num_buckets: int = 8):
+    """As-of join: latest event (by ts ≤ o_orderdate) per order, matched
+    on customer key. Bucket by key, merge_asof within buckets."""
+    from .functions.relational import asof_join_group, tag_and_bucket
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t2 = pa.table(
+            {
+                "k": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderkey": t["o_orderkey"],
+                "o_ts": pc.cast(t["o_orderdate"], pa.int64()),
+                "event_id": pa.nulls(len(t), pa.int64()),
+                "e_ts": pa.nulls(len(t), pa.int64()),
+            }
+        )
+        return tag_and_bucket(t2, "l", "k", num_buckets)
+
+    def prep_events(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t2 = pa.table(
+            {
+                "k": pc.cast(t["user_id"], pa.int64()),
+                "o_orderkey": pa.nulls(len(t), pa.int64()),
+                "o_ts": pa.nulls(len(t), pa.int64()),
+                "event_id": t["event_id"],
+                "e_ts": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+        return tag_and_bucket(t2, "r", "k", num_buckets)
+
+    both = orders.map_batches(prep_orders, batch_format="pyarrow").union(
+        events.map_batches(prep_events, batch_format="pyarrow")
+    )
+    joined = both.groupby("bucket").map_groups(
+        partial(asof_join_group, key="k", left_time="o_ts", right_time="e_ts"),
+        batch_format="pandas",
+    )
+    out = joined.to_pandas()[["o_orderkey", "event_id"]]
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["event_id"] = out["event_id"].astype("Int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def events_tumbling_window(sf_dir: str, *, window_sec: int = 3600):
+    """Per-user tumbling windows over the events stream (count + cents sum)."""
+    from .functions.relational import tumbling_window_agg
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"])
+    ds = ds.map_batches(lambda t: _cents(t, "value", "value_cents"), batch_format="pyarrow")
+    return ds.groupby("user_id").map_groups(
+        partial(tumbling_window_agg, time_col="ts", window_sec=window_sec, value_col="value_cents", key_col="user_id"),
+        batch_format="pandas",
+    )
+
+
+def events_sessionize(sf_dir: str, *, gap_sec: int = 1800):
+    """Per-user sessions (gap > gap_sec starts a new session)."""
+    from .functions.relational import sessionize_group
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(
+        partial(sessionize_group, time_col="ts", gap_sec=gap_sec, key_col="user_id"),
+        batch_format="pandas",
+    )
+
+
+def top_revenue_orders(sf_dir: str, *, k: int = 10):
+    """Sort/top-k: pre-aggregate revenue per order, global top-k."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    ds = ds.map_batches(lambda t: _cents(t, "l_extendedprice", "rev_cents", "l_discount"), batch_format="pyarrow")
+    per_order = ds.groupby("l_orderkey").aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    # orderkey tiebreak keeps the top-k deterministic under revenue ties
+    top = per_order.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(k).to_pandas()
+    top = top.rename(columns={"l_orderkey": "o_orderkey"})
+    top["rk"] = range(1, len(top) + 1)
+    return top[["rk", "o_orderkey", "revenue_cents"]]
+
+
+def embedding_near_dup_pairs(sf_dir: str, *, bits: int = 10, threshold: float = 0.95):
+    """Embedding-cosine near-dup: LSH bucket → exact cosine verify within
+    buckets (rows-only check; cosine pairs aren't SQL-stable)."""
+    from .functions.ann import LshBucketer
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    dim = len(pq.read_table(path).slice(0, 1)["embedding"][0].as_py())
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        LshBucketer, fn_constructor_kwargs=dict(dim=dim, bits=bits), batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
+        ids = group["vec_id"].to_numpy()
+        mat = np.asarray(group["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        mat = mat / norms
+        sims = mat @ mat.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        mask = sims[ii, jj] >= threshold
+        return pd.DataFrame({"a": ids[ii][mask], "b": ids[jj][mask], "cos": sims[ii, jj][mask]})
+
+    pairs = ds.groupby("bucket").map_groups(verify, batch_format="pandas")
+    out = pairs.to_pandas()
+    if len(out):
+        out = out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    else:
+        # keep a stable schema even when no pair clears the threshold
+        out = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
+    return out

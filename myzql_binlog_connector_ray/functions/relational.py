@@ -1,0 +1,144 @@
+"""Relational operators the reference lacks, built Ray-Data-first.
+
+- broadcast join: small side shipped once via ``ray.put``, probed per
+  batch with a pandas merge — no shuffle of the big side.
+- partitioned hash join: both sides large → add ``bucket = hash(key) %
+  B`` to each, union with a side tag, ``groupby(bucket)`` co-locates
+  matching keys, join inside ``map_groups``. One shuffle, B-way
+  parallel.
+- as-of join: bucket by key, sort by time within bucket, settle with
+  ``pandas.merge_asof`` per bucket.
+- windowed aggregates / sessionization over an ordered event log:
+  ``groupby(key).map_groups`` with the window logic over the sorted
+  group (Ray Data has no event-time watermarks; the ordering
+  assumption is: all events for a key fit one group, sorted here).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def hash_bucket(values, num_buckets: int) -> np.ndarray:
+    keys = np.asarray([str(v) for v in values], dtype=object)
+    return (pd.util.hash_array(keys, categorize=False) % num_buckets).astype(np.int32)
+
+
+class BroadcastJoiner:
+    """map_batches stage: left join the batch against a broadcast table.
+
+    ``small_ref`` is a ``ray.ObjectRef`` to a pandas DataFrame (put once
+    on the driver); resolved once per actor in ``__init__``.
+    """
+
+    def __init__(self, small_ref, on: str, how: str = "inner"):
+        try:
+            import ray
+
+            if isinstance(small_ref, ray.ObjectRef):
+                small_ref = ray.get(small_ref)
+        except Exception:
+            pass
+        self.small = small_ref
+        self.on = on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small, on=self.on, how=self.how)
+
+
+def tag_and_bucket(batch: pa.Table, side: str, key: str, num_buckets: int) -> pa.Table:
+    """Prepare one side of a partitioned hash join."""
+    b = hash_bucket(batch[key].to_pylist(), num_buckets)
+    out = batch.append_column("bucket", pa.array(b, pa.int32()))
+    return out.append_column("side", pa.array([side] * len(b), pa.string()))
+
+
+def bucket_join_groups(
+    group: pd.DataFrame,
+    key: str,
+    left_side: str = "l",
+    right_side: str = "r",
+    suffixes=("_l", "_r"),
+) -> pd.DataFrame:
+    """One bucket group (both sides unioned) → inner-joined rows."""
+    left = group[group["side"] == left_side].drop(columns=["side", "bucket"]).dropna(axis=1, how="all")
+    right = group[group["side"] == right_side].drop(columns=["side", "bucket"]).dropna(axis=1, how="all")
+    if not len(left) or not len(right):
+        return pd.DataFrame()
+    return left.merge(right, on=key, suffixes=suffixes)
+
+
+def asof_join_group(
+    group: pd.DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    left_side: str = "l",
+    right_side: str = "r",
+) -> pd.DataFrame:
+    """One key-bucket group → as-of join (latest right row with
+    right_time <= left_time per left row, matched by key)."""
+    left = group[group["side"] == left_side].drop(columns=["side", "bucket"]).dropna(axis=1, how="all")
+    right = group[group["side"] == right_side].drop(columns=["side", "bucket"]).dropna(axis=1, how="all")
+    if not len(left):
+        return pd.DataFrame()
+    left = left.sort_values(left_time, kind="stable")
+    if not len(right):
+        out = left.copy()
+        return out
+    right = right.sort_values(right_time, kind="stable")
+    return pd.merge_asof(
+        left,
+        right,
+        left_on=left_time,
+        right_on=right_time,
+        by=key,
+        direction="backward",
+    )
+
+
+def tumbling_window_agg(
+    group: pd.DataFrame,
+    time_col: str,
+    window_sec: int,
+    value_col: str,
+    key_col: str,
+) -> pd.DataFrame:
+    """Per-key tumbling windows over the sorted group: count + sum."""
+    g = group.sort_values(time_col, kind="stable")
+    epoch = g[time_col].astype("int64") // 1_000_000  # us → s
+    win = (epoch // window_sec) * window_sec
+    agg = g.assign(window_start=win).groupby("window_start", sort=True).agg(
+        n_events=(value_col, "size"), total_value=(value_col, "sum")
+    )
+    agg = agg.reset_index()
+    agg.insert(0, key_col, g[key_col].iloc[0])
+    return agg
+
+
+def sessionize_group(
+    group: pd.DataFrame,
+    time_col: str,
+    gap_sec: int,
+    key_col: str,
+) -> pd.DataFrame:
+    """Per-key sessions: a new session starts when the gap to the
+    previous event exceeds ``gap_sec``. Emits one row per session."""
+    g = group.sort_values(time_col, kind="stable")
+    epoch = g[time_col].astype("int64") // 1_000_000
+    new_session = (epoch.diff().fillna(gap_sec + 1) > gap_sec).astype("int64")
+    session_id = new_session.cumsum()
+    out = g.assign(_sid=session_id.values, _epoch=epoch.values).groupby("_sid").agg(
+        session_start=("_epoch", "min"),
+        session_end=("_epoch", "max"),
+        n_events=(time_col, "size"),
+    )
+    out = out.reset_index(drop=True)
+    out.insert(0, key_col, g[key_col].iloc[0])
+    out["duration_sec"] = out["session_end"] - out["session_start"]
+    return out

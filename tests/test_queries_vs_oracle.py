@@ -57,6 +57,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 SQL_CHECKED = [
+    "lineitem_pricing_summary",
+    "revenue_by_brand",
+    "order_priority_revenue",
+    "asof_last_event_per_order",
+    "events_tumbling_window",
+    "events_sessionize",
+    "top_revenue_orders",
     "lake_upsert_lww",
     "changes_count_by_dml",
     "table_filter_app_only",
@@ -71,6 +78,7 @@ SQL_CHECKED = [
 ]
 
 ROWS_ONLY = [
+    "embedding_near_dup_pairs",
     "ingest_exactly_once",
     "minhash_dup_candidates",
     "simhash_fingerprints",

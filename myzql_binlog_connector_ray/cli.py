@@ -1,0 +1,105 @@
+"""CLI entry point — the reference's mode dispatch, file-based.
+
+Modes (reference: src/main.zig:85-299):
+- ``stdout``  : decode segments and print human-readable change rows
+                (reference stdout mode);
+- ``parquet`` : decode segments → 9-column envelope Parquet
+                (reference parquet mode);
+- ``apply``   : decode → LWW upsert into the Parquet lake with
+                exactly-once manifests (north rule extension).
+
+Usage:
+    python -m myzql_binlog_connector_ray.cli <mode> config.json [-v]
+
+The CLI owns the Ray session (guarded init; nothing library-side calls
+ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _segment_paths(cfg) -> list[str]:
+    paths = sorted(
+        os.path.join(cfg.segments_dir, p)
+        for p in os.listdir(cfg.segments_dir)
+        if p.startswith("binlog.")
+    )
+    if not paths:
+        raise SystemExit(f"no binlog.* segments in {cfg.segments_dir}")
+    return paths
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="myzql-binlog-connector-ray")
+    parser.add_argument("mode", choices=["stdout", "parquet", "apply"])
+    parser.add_argument("config", help="path to job config JSON")
+    parser.add_argument("-v", "--verbose", action="store_true")
+    parser.add_argument("--limit", type=int, default=50, help="stdout mode: max rows printed")
+    args = parser.parse_args(argv)
+
+    from .config import JobConfig
+
+    cfg = JobConfig.load(args.config)
+    paths = _segment_paths(cfg)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="INFO" if args.verbose else "ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = args.verbose
+
+    from .pipelines.ingest import decode_envelope, read_segments, run_ingest
+
+    range_kwargs = dict(
+        include=cfg.include_tables or None,
+        exclude=cfg.exclude_tables or None,
+    )
+
+    try:
+        if args.mode == "stdout":
+            ds = decode_envelope(read_segments(paths), concurrency=cfg.concurrency, **range_kwargs)
+            for row in ds.limit(args.limit).take_all():
+                print(
+                    f"[{row['timestamp']}] {row['dml_type']} "
+                    f"{row['database']}.{row['table_name']} pos={row['log_pos']} "
+                    f"ordinal={row['ordinal']}"
+                )
+                if row["before_values"]:
+                    print("  before:", row["before_values"])
+                if row["after_values"]:
+                    print("  after: ", row["after_values"])
+        elif args.mode == "parquet":
+            ds = decode_envelope(read_segments(paths), concurrency=cfg.concurrency, **range_kwargs)
+            os.makedirs(cfg.output_dir, exist_ok=True)
+            ds.write_parquet(cfg.output_dir)
+            print(f"envelope written to {cfg.output_dir}")
+        else:  # apply
+            lake = cfg.lake_dir or os.path.join(cfg.output_dir, "lake")
+            os.makedirs(lake, exist_ok=True)
+            summaries = run_ingest(
+                paths,
+                lake,
+                num_partitions=cfg.num_partitions,
+                concurrency=cfg.concurrency,
+            )
+            committed = sum(1 for s in summaries if not s["skipped"])
+            rows = sum(s["rows"] for s in summaries)
+            print(f"applied into {lake}: {committed}/{len(summaries)} partitions committed, {rows} rows")
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,16 +55,13 @@ def _fmt_double(v: float) -> str:
 
 
 def _escape_json_bytes(raw: bytes, out: list[str]) -> None:
-    out.append('"')
-    for b in raw:
-        esc = _ESCAPES.get(b)
-        if esc is not None:
-            out.append(esc)
-        elif b < 0x20:
-            out.append(f"\\u{b:04x}")
-        else:
-            out.append(chr(b))
-    out.append('"')
+    # decode UTF-8 first (the reference emits raw bytes into a byte
+    # buffer — decoding, not byte-wise chr(), is the str equivalent),
+    # then escape with the C json escaper (same rules: \" \\ \n \r \t,
+    # \u00XX for other control chars).
+    from json.encoder import encode_basestring
+
+    out.append(encode_basestring(raw.decode("utf-8", "replace")))
 
 
 def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
@@ -169,11 +166,15 @@ def _decode_container(data: bytes, pos: int, out: list[str], *, small: bool, is_
         if i:
             out.append(", ")
         if not is_array:
+            from json.encoder import encode_basestring
+
             koff, klen = keys[i]
             kpos = origin + koff
-            out.append('"')
-            out.append(data[kpos : kpos + klen].decode("utf-8", errors="replace"))
-            out.append('": ')
+            # NOTE: the reference emits keys unescaped (src/json_decoder.zig:666-669);
+            # we escape so output is always valid JSON — differs only for
+            # pathological keys containing quotes/control characters.
+            out.append(encode_basestring(data[kpos : kpos + klen].decode("utf-8", errors="replace")))
+            out.append(": ")
         jt, val, inline = entries[i]
         if inline:
             out.append(val)

@@ -112,6 +112,10 @@ class SegmentDecoder:
         typed_types: Optional[dict[str, pa.DataType]] = None,
         dedup_keys: Optional[list[str]] = None,
         num_partitions: Optional[int] = None,
+        from_file: Optional[str] = None,
+        from_position: Optional[int] = None,
+        to_file: Optional[str] = None,
+        to_position: Optional[int] = None,
     ):
         assert mode in ("envelope", "typed")
         self.mode = mode
@@ -128,6 +132,15 @@ class SegmentDecoder:
         # tombstones) instead of every event.
         self.dedup_keys = dedup_keys
         self.num_partitions = num_partitions
+        # (file, position) range predicate — the reference's stop/start
+        # checks (src/binlog_reader.zig:284-305). In a file-based engine
+        # this is pushdown: whole segments outside [from_file, to_file]
+        # are skipped before any event parsing; boundary segments mask
+        # rows by log_pos (log_pos = event end position).
+        self.from_file = from_file
+        self.from_position = from_position
+        self.to_file = to_file
+        self.to_position = to_position
         # per-actor metrics (reference: src/metrics.zig:25-46)
         self.metrics = {"events": 0, "rows": 0, "filtered_tables": 0, "segments": 0}
         # compiled row decoders, cached per column layout (survives the
@@ -144,7 +157,31 @@ class SegmentDecoder:
 
     # -- per-segment decode ------------------------------------------------
 
+    def _segment_in_range(self, seg: str) -> bool:
+        if self.from_file is not None and seg < self.from_file:
+            return False
+        if self.to_file is not None and seg > self.to_file:
+            return False
+        return True
+
+    def _event_in_range(self, seg: str, log_pos: int) -> bool:
+        if self.from_file is not None and self.from_position is not None and seg == self.from_file:
+            if log_pos <= self.from_position:
+                return False
+        if self.to_file is not None and self.to_position is not None and seg == self.to_file:
+            if log_pos > self.to_position:
+                return False
+        return True
+
     def _decode_segment(self, name: str, blob: bytes, sink) -> None:
+        import os as _os
+
+        seg = _os.path.basename(name)
+        if not self._segment_in_range(seg):
+            return
+        check_pos = (self.from_file == seg and self.from_position is not None) or (
+            self.to_file == seg and self.to_position is not None
+        )
         post_header_len: bytes | None = None
         table_maps: dict[int, object] = {}
         filtered_ids: set[int] = set()
@@ -175,6 +212,8 @@ class SegmentDecoder:
                 if self.min_ordinal is not None and ordinal < self.min_ordinal:
                     continue
                 if self.max_ordinal is not None and ordinal > self.max_ordinal:
+                    continue
+                if check_pos and not self._event_in_range(seg, ev.log_pos):
                     continue
                 table_id = int.from_bytes(ev.data[0:6], "little")
                 if table_id in filtered_ids:

@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": api.ann_topk_lsh,
         "multimodal_decode_fake": api.multimodal_decode_fake,
         "embedding_near_dup_pairs": api.embedding_near_dup_pairs,
+        "minhash_dup_verified": api.minhash_dup_verified,
     }
 
 

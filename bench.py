@@ -185,7 +185,13 @@ def run_scaling() -> dict:
         a, b = sub(ncpu), sub(ncpu)
         return a if a["value"] <= b["value"] else b
 
-    lo, hi = 8, 32
+    # N vs 4N evidence runs at 4 vs 16 CPUs over a 4x-replicated stream:
+    # per-level work (≫ the fixed executor/actor-startup floor) is what
+    # makes the efficiency ratio measure compute scaling, not overhead
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
+    os.environ.setdefault("GRAFT_BENCH_REPLICATE", "1600")
+    os.environ.setdefault("GRAFT_BENCH_SEGMENTS", "64")
     r_lo, r_hi = best(lo), best(hi)
     tput_lo = r_lo["events_per_sec"]
     tput_hi = r_hi["events_per_sec"]

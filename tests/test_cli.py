@@ -1,0 +1,66 @@
+"""CLI mode dispatch: stdout / parquet / apply over a segment directory.
+
+Each invocation is a subprocess owning its own Ray session (the CLI
+calls ray.init itself, mirroring the reference's main();
+reference: src/main.zig:85-299).
+"""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cli_env(fixture_paths, tmp_path_factory):
+    work = tmp_path_factory.mktemp("cli")
+    cfg = {
+        "segments_dir": fixture_paths["segments_dir"],
+        "output_dir": str(work / "out"),
+        "num_partitions": 4,
+    }
+    cfg_path = work / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    return {"cfg": str(cfg_path), "out": cfg["output_dir"]}
+
+
+def _run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "myzql_binlog_connector_ray.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+
+
+def test_cli_stdout_mode(cli_env):
+    r = _run_cli("stdout", cli_env["cfg"], "--limit", "5")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "app.repos" in r.stdout or "metrics.counters" in r.stdout
+    assert "after:" in r.stdout
+
+
+def test_cli_parquet_mode(cli_env):
+    r = _run_cli("parquet", cli_env["cfg"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert glob.glob(os.path.join(cli_env["out"], "*.parquet"))
+
+
+def test_cli_apply_mode(cli_env):
+    r = _run_cli("apply", cli_env["cfg"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "partitions committed" in r.stdout
+    lake = os.path.join(cli_env["out"], "lake")
+    assert glob.glob(os.path.join(lake, "part=*/data.parquet"))
+    assert glob.glob(os.path.join(lake, "_manifests", "*.json"))
+
+
+def test_cli_rejects_bad_config(tmp_path):
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"segments_dir": "/nonexistent", "from_binlog_position": 1}))
+    r = _run_cli("stdout", str(bad))
+    assert r.returncode != 0

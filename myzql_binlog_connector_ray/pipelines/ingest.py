@@ -106,7 +106,7 @@ def decode_typed(
     concurrency=None,
     dedup_keys: Optional[list[str]] = None,
     num_partitions: Optional[int] = None,
-    scheduling: str = "tasks",
+    scheduling: str = "auto",
 ) -> ray.data.Dataset:
     """Segments → typed change rows for one table (no JSON detour).
 
@@ -114,13 +114,28 @@ def decode_typed(
     the fused LWW combiner (latest change per key per segment) and
     stamps the hash-partition column — one pass, no extra stage.
 
-    ``scheduling``: "tasks" (default) constructs the decoder per
-    segment on warm pooled workers — segments are self-contained, so
-    per-segment state (TABLE_MAP cache, format description) needs no
-    cross-batch actor (SURVEY.md §4.2); measured ~20% faster end-to-end
-    than a fixed actor pool because decode tasks interleave freely with
-    read tasks. "actors" uses the autoscaling actor pool instead.
+    ``scheduling``:
+    - "tasks": construct the decoder per segment on warm pooled
+      workers — valid because segments are self-contained (SURVEY.md
+      §4.2); decode tasks interleave freely with read tasks, measured
+      ~20% faster end-to-end on ≥8 CPUs.
+    - "actors": fixed/autoscaling actor pool — pins a CPU share for
+      decode, which wins on small clusters where the executor's
+      per-operator reservations otherwise starve the decode stage.
+    - "auto" (default): tasks when the cluster has ≥8 CPUs, else an
+      actor pool sized 3/4 of the CPUs (both measured, see BASELINE.md).
     """
+    if scheduling == "auto":
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        if cpus >= 8:
+            scheduling = "tasks"
+        else:
+            scheduling = "actors"
+            if concurrency is None:
+                concurrency = max(2, (cpus * 3) // 4)
     cfg = dict(
         mode="typed",
         registry=registry or SCHEMA_REGISTRY,

@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_fake": api.multimodal_decode_fake,
         "embedding_near_dup_pairs": api.embedding_near_dup_pairs,
         "minhash_dup_verified": api.minhash_dup_verified,
+        "ann_topk_ivf": api.ann_topk_ivf,
+        "token_count_bpe_by_lang": api.token_count_bpe_by_lang,
     }
 
 

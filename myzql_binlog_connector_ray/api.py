@@ -594,3 +594,49 @@ def minhash_dup_verified(sf_dir: str, *, threshold: float = 0.5, concurrency=(1,
             rows.append({"a": int(a), "b": int(b), "jaccard": round(j, 6)})
     out = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
     return out.sort_values(["a", "b"]).reset_index(drop=True) if len(out) else out
+
+
+def ann_topk_ivf(sf_dir: str, *, k: int = 10, num_queries: int = 5, n_lists: int = 8, nprobe: int = 3):
+    """IVF ANN: cosine-k-means lists trained on a driver-side sample,
+    centroids broadcast; queries probe nprobe lists only (rows-only)."""
+    from .functions.ann import BruteForceTopK, IvfIndex
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(path).sort_by("vec_id")
+    sample = np.asarray(tbl.slice(0, 256)["embedding"].to_pylist(), dtype=np.float64)
+    centroids = IvfIndex.train(sample, n_lists=n_lists)
+    head = tbl.slice(0, num_queries)
+    q = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    qids = head["vec_id"].to_pylist()
+    index = IvfIndex(centroids)
+    probe_lists = set(int(l) for lists in index.probe(q, nprobe) for l in lists)
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        IvfIndex, fn_constructor_kwargs=dict(centroids=ray.put(centroids)),
+        batch_format="pyarrow", concurrency=(1, 2),
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["ivf_list"], value_set=pa.array(sorted(probe_lists), pa.int64()))),
+        batch_format="pyarrow",
+    )
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=ray.put(q), query_ids=qids, k=k),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    from .functions.ann import merge_topk
+
+    return merge_topk(partials.to_pandas(), k=k).rename(columns={"rank": "rk"})
+
+
+def token_count_bpe_by_lang(sf_dir: str, *, concurrency=(1, 2)):
+    """BPE-ish token counts (GPT-2-style pre-tokenizer regex), per lang."""
+    from .functions.text import BpeishTokenCounter
+
+    ds = _docs_ds(sf_dir, ["text", "lang"])
+    ds = ds.map_batches(BpeishTokenCounter, batch_format="pyarrow", concurrency=concurrency)
+    return ds.groupby("lang").aggregate(
+        Sum("n_bpe_tokens", alias_name="total_bpe_tokens"), Count(alias_name="n_docs")
+    )

@@ -107,3 +107,25 @@ def rolling_fingerprint(text: str, window: int = 16, keep_mod: int = 8) -> list[
 def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     fps = [rolling_fingerprint(t) for t in batch[text_col].to_pylist()]
     return batch.append_column("fingerprint", pa.array(fps, pa.list_(pa.int64())))
+
+
+class BpeishTokenCounter:
+    """Token counting with a GPT-2-style pre-tokenizer regex — the
+    common approximation for LLM token budgeting when the real BPE
+    merges aren't available. Regex compiled once per actor."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.pat = re.compile(
+            r"'(?:[sdmt]|ll|ve|re)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+            re.UNICODE,
+        )
+
+    def count(self, text: str) -> int:
+        return len(self.pat.findall(text))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = [self.count(t) for t in batch[self.text_col].to_pylist()]
+        return batch.append_column("n_bpe_tokens", pa.array(counts, pa.int64()))

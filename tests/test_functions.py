@@ -167,3 +167,36 @@ def test_multimodal_stub():
     # deterministic: same payload → same features
     feats2 = DecodeStub(dim=8, fake=True)(media)
     assert vals == feats2["features"].to_pylist()
+
+
+def test_ivf_index():
+    from myzql_binlog_connector_ray.functions.ann import IvfIndex
+
+    rng = np.random.RandomState(2)
+    # two well-separated clusters
+    a = rng.standard_normal((40, 8)) * 0.05 + np.array([5, 0, 0, 0, 0, 0, 0, 0])
+    b = rng.standard_normal((40, 8)) * 0.05 + np.array([0, 5, 0, 0, 0, 0, 0, 0])
+    sample = np.vstack([a, b])
+    cents = IvfIndex.train(sample, n_lists=2, iters=5)
+    idx = IvfIndex(cents)
+    la, lb = idx.assign(a), idx.assign(b)
+    assert len(set(la.tolist())) == 1 and len(set(lb.tolist())) == 1
+    assert la[0] != lb[0]
+    # a query near cluster a probes a's list first
+    probes = idx.probe(a[:1], nprobe=1)
+    assert probes[0][0] == la[0]
+    # deterministic training
+    assert np.allclose(cents, IvfIndex.train(sample, n_lists=2, iters=5))
+
+
+def test_bpeish_token_counter():
+    from myzql_binlog_connector_ray.functions.text import BpeishTokenCounter
+
+    c = BpeishTokenCounter()
+    assert c.count("") == 0
+    assert c.count("hello world") == 2
+    assert c.count("it's fine") == 3  # it / 's / fine
+    assert c.count("a,b") == 3  # a / , / b
+    batch = _docs_batch()
+    out = c(batch)
+    assert (np.array(out["n_bpe_tokens"].to_pylist()) > 0).all()

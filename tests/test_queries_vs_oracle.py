@@ -79,6 +79,8 @@ SQL_CHECKED = [
 
 ROWS_ONLY = [
     "minhash_dup_verified",
+    "ann_topk_ivf",
+    "token_count_bpe_by_lang",
     "embedding_near_dup_pairs",
     "ingest_exactly_once",
     "minhash_dup_candidates",

@@ -209,50 +209,64 @@ def build_transactions(docs: list[Doc], rows_per_event: int = 200) -> list[dict]
     return txns
 
 
+def _write_one_segment(args) -> str:
+    si, chunk, out_dir = args
+    w = bw.SegmentWriter(server_id=1, base_timestamp=1_700_000_000 + si)
+    w.format_description()
+    ddl_emitted = False
+    for t in chunk:
+        spec = t["spec"]
+        if len(spec.columns) == len(REPOS_SPEC_V2.columns) and spec.table == "repos" and not ddl_emitted:
+            # self-contained segments: each segment that uses the evolved
+            # layout replays the DDL (as it replays FORMAT_DESCRIPTION
+            # and TABLE_MAPs)
+            w.query("app", "ALTER TABLE repos ADD COLUMN stars INT")
+            ddl_emitted = True
+        w.gtid(t["ordinal"])
+        w.table_map(spec)
+        if t["dml"] == "INSERT":
+            w.write_rows(spec, t["rows"])
+        elif t["dml"] == "UPDATE":
+            w.update_rows(spec, t["rows"])
+        else:
+            w.delete_rows(spec, t["rows"])
+    w.rotate(f"binlog.{si + 2:06d}")
+    path = os.path.join(out_dir, f"binlog.{si + 1:06d}")
+    with open(path, "wb") as f:
+        f.write(w.getvalue())
+    return path
+
+
 def write_segments(
     docs: list[Doc],
     out_dir: str,
     num_segments: int = 4,
     rows_per_event: int = 200,
+    workers: int | None = None,
 ) -> list[str]:
     """Write self-contained binlog segment files; returns paths.
 
     Transactions are chunked into ``num_segments`` contiguous ordinal
     ranges; each segment re-emits FORMAT_DESCRIPTION and the TABLE_MAP
-    for every row event (MySQL's per-statement behavior), plus the
-    wave-3 DDL QUERY event in the segment where the schema evolves.
+    for every row event (MySQL's per-statement behavior), plus the DDL
+    QUERY event ahead of the first evolved-schema transaction it
+    carries. Segments encode in parallel worker processes (generation
+    is the fixture bottleneck at bench scale).
     """
     os.makedirs(out_dir, exist_ok=True)
     txns = build_transactions(docs, rows_per_event)
     n = max(1, num_segments)
     per_seg = (len(txns) + n - 1) // n
+    jobs = [(si, txns[si * per_seg : (si + 1) * per_seg], out_dir) for si in range(n)]
 
-    paths = []
-    ddl_emitted = False
-    for si in range(n):
-        chunk = txns[si * per_seg : (si + 1) * per_seg]
-        w = bw.SegmentWriter(server_id=1, base_timestamp=1_700_000_000 + si)
-        w.format_description()
-        for t in chunk:
-            spec = t["spec"]
-            if spec is REPOS_SPEC_V2 and not ddl_emitted:
-                w.query("app", "ALTER TABLE repos ADD COLUMN stars INT")
-                ddl_emitted = True
-            w.gtid(t["ordinal"])
-            w.table_map(spec)
-            if t["dml"] == "INSERT":
-                w.write_rows(spec, t["rows"])
-            elif t["dml"] == "UPDATE":
-                w.update_rows(spec, t["rows"])
-            else:
-                w.delete_rows(spec, t["rows"])
-        next_name = f"binlog.{si + 2:06d}"
-        w.rotate(next_name)
-        path = os.path.join(out_dir, f"binlog.{si + 1:06d}")
-        with open(path, "wb") as f:
-            f.write(w.getvalue())
-        paths.append(path)
-    return paths
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1, n)
+    if workers <= 1 or n <= 1:
+        return [_write_one_segment(j) for j in jobs]
+    import multiprocessing as mp
+
+    with mp.get_context("fork").Pool(workers) as pool:
+        return pool.map(_write_one_segment, jobs)
 
 
 def materialize(

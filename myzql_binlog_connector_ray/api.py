@@ -30,7 +30,6 @@ from .functions.dedup import (
     add_content_hash,
     add_simhash,
     band_bucket_pairs,
-    keep_first_by,
 )
 from .functions.multimodal import DecodeStub, payload_stats, text_to_media_batch
 from .functions.text import LanguageId, QualityScorer, add_fingerprint, token_count_batch
@@ -134,13 +133,13 @@ def dedup_exact(sf_dir: str):
         lambda t: t.set_column(0, "doc_id", pa.compute.add(t["doc_id"], 1_000_000)),
         batch_format="pyarrow",
     )
+    from ray.data.aggregate import Min
+
     both = ds.union(dup)
     hashed = both.map_batches(add_content_hash, batch_format="pyarrow").select_columns(
         ["doc_id", "content_hash"]
     )
-    kept = hashed.groupby("content_hash").map_groups(
-        partial(keep_first_by, id_col="doc_id"), batch_format="pandas"
-    )
+    kept = hashed.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
     return kept.select_columns(["doc_id"])
 
 
@@ -166,11 +165,21 @@ def lang_distribution(sf_dir: str):
     return _docs_ds(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
 
 
+def _parquet_head(path: str, columns: list[str], n: int) -> pa.Table:
+    """First ``n`` rows only — streams the leading pages of row group 0
+    instead of loading the whole table on the driver (a driver OOM at
+    100 TB). The embeddings table is written in vec_id order (all sf
+    dirs), so the head IS the global ``ORDER BY vec_id LIMIT n``."""
+    pf = pq.ParquetFile(path)
+    batch = next(pf.iter_batches(batch_size=n, columns=columns))
+    return pa.Table.from_batches([batch]).sort_by(columns[0])
+
+
 def ann_topk_bruteforce(sf_dir: str, *, k: int = 10, num_queries: int = 5):
     """Brute-force cosine top-k: queries broadcast once via ray.put,
     per-batch float64 matmul partials, tiny driver-side merge."""
     path = os.path.join(sf_dir, "embeddings.parquet")
-    head = pq.read_table(path).sort_by("vec_id").slice(0, num_queries)
+    head = _parquet_head(path, ["vec_id", "embedding"], num_queries)
     q = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
     qids = head["vec_id"].to_pylist()
     q_ref = ray.put(q)
@@ -250,7 +259,7 @@ def doc_fingerprints(sf_dir: str):
 def ann_topk_lsh(sf_dir: str, *, k: int = 10, num_queries: int = 5, bits: int = 4):
     """LSH-bucketed ANN (scale path): search only the query's bucket."""
     path = os.path.join(sf_dir, "embeddings.parquet")
-    head = pq.read_table(path).sort_by("vec_id").slice(0, num_queries)
+    head = _parquet_head(path, ["vec_id", "embedding"], num_queries)
     q = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
     qids = head["vec_id"].to_pylist()
     dim = q.shape[1]
@@ -392,9 +401,11 @@ def revenue_by_brand(sf_dir: str, *, concurrency=(1, 2)):
 
 def order_priority_revenue(sf_dir: str, *, num_buckets: int = 16):
     """Partitioned hash join (both sides large): orders ⋈ lineitem on
-    orderkey via bucket groupby, then revenue by order priority."""
-    from .functions.relational import bucket_join_groups, tag_and_bucket
-
+    orderkey via Ray Data's native hash join, then revenue by order
+    priority. The join ships only pruned columns (key + priority on one
+    side, key + pre-computed cents on the other) through the shuffle,
+    and Arrow-native partitions preserve int64 exactly (round-1's
+    null-padded-union variant leaked int64 → float64 through pandas)."""
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
     )
@@ -403,40 +414,17 @@ def order_priority_revenue(sf_dir: str, *, num_buckets: int = 16):
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
     lineitem = lineitem.map_batches(
-        lambda t: _cents(t, "l_extendedprice", "rev_cents", "l_discount"), batch_format="pyarrow"
+        lambda t: _cents(t, "l_extendedprice", "rev_cents", "l_discount").select(
+            ["l_orderkey", "rev_cents"]
+        ),
+        batch_format="pyarrow",
     )
-
-    def prep_orders(t: pa.Table) -> pa.Table:
-        t = tag_and_bucket(t, "l", "o_orderkey", num_buckets)
-        return pa.table(
-            {
-                "o_orderkey": t["o_orderkey"],
-                "o_orderpriority": t["o_orderpriority"],
-                "rev_cents": pa.nulls(len(t), pa.int64()),
-                "bucket": t["bucket"],
-                "side": t["side"],
-            }
-        )
-
-    def prep_lineitem(t: pa.Table) -> pa.Table:
-        t = tag_and_bucket(t.rename_columns(
-            ["o_orderkey" if c == "l_orderkey" else c for c in t.column_names]
-        ), "r", "o_orderkey", num_buckets)
-        return pa.table(
-            {
-                "o_orderkey": t["o_orderkey"],
-                "o_orderpriority": pa.nulls(len(t), pa.string()),
-                "rev_cents": t["rev_cents"],
-                "bucket": t["bucket"],
-                "side": t["side"],
-            }
-        )
-
-    both = orders.map_batches(prep_orders, batch_format="pyarrow").union(
-        lineitem.map_batches(prep_lineitem, batch_format="pyarrow")
-    )
-    joined = both.groupby("bucket").map_groups(
-        partial(bucket_join_groups, key="o_orderkey"), batch_format="pandas"
+    joined = orders.join(
+        lineitem,
+        join_type="inner",
+        num_partitions=num_buckets,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
     )
     return joined.groupby("o_orderpriority").aggregate(
         Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
@@ -483,17 +471,29 @@ def asof_last_event_per_order(sf_dir: str, *, num_buckets: int = 8):
         )
         return tag_and_bucket(t2, "r", "k", num_buckets)
 
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = asof_join_group(g, key="k", left_time="o_ts", right_time="e_ts")
+        if not len(out):
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series(dtype="int64"), "event_id": pd.Series(dtype="Int64")}
+            )
+        # restore dtypes pandas coerced while materializing the padded
+        # union (int64+null → float64); do it here so the returned
+        # Dataset carries the final schema and the caller never collects.
+        # A bucket with zero events drops the all-null event_id column
+        # entirely — reinstate it as nulls (left join semantics).
+        ev = out["event_id"] if "event_id" in out.columns else pd.Series(pd.NA, index=out.index)
+        return pd.DataFrame(
+            {
+                "o_orderkey": out["o_orderkey"].astype("int64"),
+                "event_id": ev.astype("Int64"),
+            }
+        )
+
     both = orders.map_batches(prep_orders, batch_format="pyarrow").union(
         events.map_batches(prep_events, batch_format="pyarrow")
     )
-    joined = both.groupby("bucket").map_groups(
-        partial(asof_join_group, key="k", left_time="o_ts", right_time="e_ts"),
-        batch_format="pandas",
-    )
-    out = joined.to_pandas()[["o_orderkey", "event_id"]]
-    out["o_orderkey"] = out["o_orderkey"].astype("int64")
-    out["event_id"] = out["event_id"].astype("Int64")
-    return out.sort_values("o_orderkey").reset_index(drop=True)
+    return both.groupby("bucket").map_groups(asof_group, batch_format="pandas")
 
 
 def events_tumbling_window(sf_dir: str, *, window_sec: int = 3600):
@@ -540,7 +540,7 @@ def embedding_near_dup_pairs(sf_dir: str, *, bits: int = 10, threshold: float = 
     from .functions.ann import LshBucketer
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    dim = len(pq.read_table(path).slice(0, 1)["embedding"][0].as_py())
+    dim = len(_parquet_head(path, ["vec_id", "embedding"], 1)["embedding"][0].as_py())
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     ds = ds.map_batches(
         LshBucketer, fn_constructor_kwargs=dict(dim=dim, bits=bits), batch_format="pyarrow", concurrency=(1, 2)
@@ -602,10 +602,10 @@ def ann_topk_ivf(sf_dir: str, *, k: int = 10, num_queries: int = 5, n_lists: int
     from .functions.ann import BruteForceTopK, IvfIndex
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    tbl = pq.read_table(path).sort_by("vec_id")
-    sample = np.asarray(tbl.slice(0, 256)["embedding"].to_pylist(), dtype=np.float64)
+    train_head = _parquet_head(path, ["vec_id", "embedding"], 256)
+    sample = np.asarray(train_head["embedding"].to_pylist(), dtype=np.float64)
     centroids = IvfIndex.train(sample, n_lists=n_lists)
-    head = tbl.slice(0, num_queries)
+    head = train_head.slice(0, num_queries)
     q = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
     qids = head["vec_id"].to_pylist()
     index = IvfIndex(centroids)

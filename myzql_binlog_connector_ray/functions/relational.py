@@ -59,18 +59,39 @@ def tag_and_bucket(batch: pa.Table, side: str, key: str, num_buckets: int) -> pa
 
 
 def bucket_join_groups(
-    group: pd.DataFrame,
+    group: pa.Table,
     key: str,
     left_side: str = "l",
     right_side: str = "r",
     suffixes=("_l", "_r"),
-) -> pd.DataFrame:
-    """One bucket group (both sides unioned) → inner-joined rows."""
-    left = group[group["side"] == left_side].drop(columns=["side", "bucket"]).dropna(axis=1, how="all")
-    right = group[group["side"] == right_side].drop(columns=["side", "bucket"]).dropna(axis=1, how="all")
-    if not len(left) or not len(right):
-        return pd.DataFrame()
-    return left.merge(right, on=key, suffixes=suffixes)
+) -> pa.Table:
+    """One bucket group (both sides unioned) → inner-joined rows.
+
+    Takes the group as a ``pa.Table`` (``batch_format="pyarrow"``) so the
+    null-padded union columns never round-trip through pandas as a mixed
+    int64+null column (which pandas coerces to float64 — the round-1
+    ``order_priority_revenue`` hash mismatch). Each side's padding
+    columns (all-null by construction) are dropped *before* the pandas
+    merge, so every surviving column converts with its exact dtype.
+    """
+    import pyarrow.compute as pc
+
+    mask = pc.equal(group["side"], left_side)
+    left_t = group.filter(mask).drop_columns(["side", "bucket"])
+    right_t = group.filter(pc.invert(mask)).drop_columns(["side", "bucket"])
+    if not len(left_t) or not len(right_t):
+        # inner join with an empty side: no rows; schema = key + both
+        # sides' non-key columns (padding unknown here, so just the key —
+        # callers aggregate the output, and Ray drops empty blocks).
+        return pa.table({key: pa.array([], group.schema.field(key).type)})
+    left_t = left_t.drop_columns(
+        [c for c in left_t.column_names if c != key and left_t[c].null_count == len(left_t)]
+    )
+    right_t = right_t.drop_columns(
+        [c for c in right_t.column_names if c != key and right_t[c].null_count == len(right_t)]
+    )
+    merged = left_t.to_pandas().merge(right_t.to_pandas(), on=key, suffixes=suffixes)
+    return pa.Table.from_pandas(merged, preserve_index=False)
 
 
 def asof_join_group(

@@ -103,8 +103,21 @@ def entrymod(ray_session):
 def test_query_matches_oracle(entrymod, sf_dir, name):
     fn = entrymod.queries()[name]
     sql = entrymod.oracle_sql()[name]
-    got = _normalize(_to_pandas(fn(sf_dir)))
-    want = _normalize(_oracle(sf_dir, sql))
+    got_raw = _to_pandas(fn(sf_dir))
+    want_raw = _oracle(sf_dir, sql)
+    # The driver hashes typed values, so an int64 column that leaks to
+    # float64 on one side fails there even when values compare equal
+    # (round-1 order_priority_revenue). Mirror that: dtype *kinds* must
+    # match wherever neither side carries nulls (nulls legitimately
+    # float-ify DuckDB's .df() output).
+    for c in sorted(set(got_raw.columns) & set(want_raw.columns)):
+        g, w = got_raw[c], want_raw[c]
+        if not g.isna().any() and not w.isna().any():
+            gk = "i" if pd.api.types.is_integer_dtype(g) else g.dtype.kind
+            wk = "i" if pd.api.types.is_integer_dtype(w) else w.dtype.kind
+            assert gk == wk, f"{name}.{c}: dtype kind {g.dtype} vs oracle {w.dtype}"
+    got = _normalize(got_raw)
+    want = _normalize(want_raw)
     assert list(got.columns) == list(want.columns), (list(got.columns), list(want.columns))
     assert len(got) == len(want), (len(got), len(want))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -14,6 +14,7 @@ from collections.abc import Callable
 from typing import Any
 
 from myzql_binlog_connector_ray import api
+from myzql_binlog_connector_ray.functions.text import BPEISH_PATTERN
 
 
 def entry() -> Any:
@@ -57,6 +58,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": api.ann_topk_ivf,
         "token_count_bpe_by_lang": api.token_count_bpe_by_lang,
     }
+
+
+# --------------------------------------------------------------------------
+# Oracle-SQL generators for the hash-based operators. The Python kernels
+# (functions/dedup.py, functions/text.py) are specified in md5 + integer
+# polynomial arithmetic precisely so DuckDB can recompute them exactly;
+# the permutation/plane constants below are seed-derived, data-independent
+# literals — part of the spec, embedded here so the SQL is self-contained.
+# --------------------------------------------------------------------------
+
+
+def _minhash_cte() -> str:
+    """CTE chain reproducing functions/dedup.py's minhash-LSH end to end:
+    corpus (documents ∪ ' tail' copies) → 31-bit md5 word hashes →
+    polynomial 5-gram hashes → 128 permutation minima → 16 md5 band
+    keys → candidate pairs. Assumes every doc has ≥5 words (fixture
+    min is 10)."""
+    from myzql_binlog_connector_ray.functions.dedup import M31, POW_B, minhash_params
+
+    a, c = minhash_params(128)
+    perms = ", ".join(f"({i},{int(a[i])},{int(c[i])})" for i in range(128))
+
+    def wh(expr: str) -> str:
+        return f"(CAST(('0x' || substr(md5({expr}),1,8)) AS BIGINT) & 2147483647)"
+
+    terms = " + ".join(f"{wh(f'ws[i+{j}]')} * {int(POW_B[j])} % {M31}" for j in range(5))
+    return f"""
+  corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' tail' FROM documents
+  ),
+  words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM corpus),
+  gidx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM words),
+  grams AS (
+    SELECT doc_id, ({terms}) % {M31} AS gh FROM gidx
+  ),
+  mins AS (
+    SELECT g.doc_id, p.pi, min((p.pa * g.gh + p.pb) % {M31}) AS mh
+    FROM grams g CROSS JOIN (VALUES {perms}) p(pi, pa, pb)
+    GROUP BY g.doc_id, p.pi
+  ),
+  bands AS (
+    SELECT doc_id, pi // 8 AS band,
+           CAST(('0x' || substr(md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi)),1,15)) AS BIGINT) AS bh
+    FROM mins GROUP BY doc_id, pi // 8
+  ),
+  cpairs AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+  )"""
+
+
+def _langid_scores() -> str:
+    from myzql_binlog_connector_ray.functions.text import _LANG_PROFILES
+
+    cols = []
+    for lang in ("en", "es", "fr", "de"):
+        lit = "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang])) + "]"
+        cols.append(
+            f"len(list_intersect(list_distinct(regexp_split_to_array(lower(text), '\\s+')), {lit})) AS s_{lang}"
+        )
+    return ", ".join(cols)
+
+
+def _lsh_bucket_expr(bits: int = 4, dim: int = 64, seed: int = 11) -> str:
+    """Random-hyperplane bucket id as SQL; the plane matrix is the same
+    RandomState(seed) draw LshBucketer makes (repr round-trips float64)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((bits, dim))
+    cases = []
+    for b in range(bits):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[b]) + "]"
+        cases.append(f"(CASE WHEN list_dot_product(embedding, {lit}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(cases)
 
 
 # Shared CTE mapping documents → the derived repo-content key space
@@ -225,5 +303,89 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY l_orderkey
             )
             QUALIFY rk <= 10
+        """,
+        "minhash_dup_candidates": f"""
+            WITH {_minhash_cte()}
+            SELECT a, b FROM cpairs
+        """,
+        "minhash_dup_verified": f"""
+            WITH {_minhash_cte()},
+            gset AS (SELECT DISTINCT doc_id, gh FROM grams),
+            gsize AS (SELECT doc_id, count(*) AS n FROM gset GROUP BY doc_id),
+            inter AS (
+              SELECT p.a, p.b, count(*) AS ni
+              FROM cpairs p
+              JOIN gset x ON x.doc_id = p.a
+              JOIN gset y ON y.doc_id = p.b AND y.gh = x.gh
+              GROUP BY p.a, p.b
+            )
+            SELECT i.a, i.b,
+                   round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard
+            FROM inter i
+            JOIN gsize sa ON sa.doc_id = i.a
+            JOIN gsize sb ON sb.doc_id = i.b
+            WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
+        """,
+        "simhash_fingerprints": """
+            WITH words AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
+            ),
+            wh AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,15)) AS BIGINT) AS h FROM words),
+            bits AS (
+              SELECT doc_id, b.bit,
+                     sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+              FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
+              GROUP BY doc_id, b.bit
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "language_id_predictions": f"""
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN length(text) > 0
+                          AND length(regexp_replace(substr(text, 1, 200), '[^一-鿿]', '', 'g')) * 1.0
+                              / greatest(1, least(length(text), 200)) > 0.2
+                       THEN 'zh'
+                     WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'unknown'
+                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                     WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                     WHEN s_fr >= s_de THEN 'fr'
+                     ELSE 'de'
+                   END AS lang_pred
+            FROM (SELECT doc_id, lang, text, {_langid_scores()} FROM documents)
+        """,
+        "token_count_bpe_by_lang": """
+            SELECT lang,
+                   CAST(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS total_bpe_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """.replace("{pat}", BPEISH_PATTERN.replace("'", "''")),
+        "multimodal_decode_fake": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(16 AS BIGINT) AS feat_dim
+            FROM documents
+        """,
+        "ann_topk_lsh": f"""
+            WITH e AS (SELECT vec_id, embedding, {_lsh_bucket_expr()} AS bucket FROM embeddings),
+            q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM e ORDER BY vec_id LIMIT 5),
+            cand AS (SELECT vec_id, embedding FROM e WHERE bucket IN (SELECT bucket FROM q)),
+            s AS (
+              SELECT q.qid, c.vec_id AS nid, list_cosine_similarity(q.qe, c.embedding) AS sim
+              FROM q CROSS JOIN cand c
+              WHERE c.vec_id <> q.qid
+            )
+            SELECT qid, nid, rk FROM (
+              SELECT qid, nid,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+              FROM s
+            ) WHERE rk <= 10
+        """,
+        "embedding_near_dup_pairs": """
+            SELECT vec_id AS a, vec_id + 1000000 AS b FROM embeddings
         """,
     }

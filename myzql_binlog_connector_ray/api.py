@@ -26,10 +26,12 @@ from ray.data.aggregate import Count, Sum
 from .fixtures.change_stream import WAVE, materialize
 from .functions.ann import BruteForceTopK, LshBucketer, merge_topk
 from .functions.dedup import (
+    GramSetter,
     MinHasher,
+    SimHasher,
     add_content_hash,
-    add_simhash,
     band_bucket_pairs,
+    jaccard_from_sets,
 )
 from .functions.multimodal import DecodeStub, payload_stats, text_to_media_batch
 from .functions.text import LanguageId, QualityScorer, add_fingerprint, token_count_batch
@@ -212,28 +214,92 @@ def binary_payload_stats(sf_dir: str):
 # --------------------------------------------------------------------------
 
 
-def minhash_dup_candidates(sf_dir: str, *, concurrency=(1, 2)):
-    """MinHash-LSH near-dup candidates over documents ∪ near-identical copy."""
+def _dup_corpus(sf_dir: str):
+    """documents ∪ a near-identical copy (id+1M, text + ' tail') — the
+    planted ground truth the minhash oracle SQL reconstructs closed-form."""
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
     near = ds.map_batches(
         lambda t: pa.table(
             {
                 "doc_id": pa.compute.add(t["doc_id"], 1_000_000),
-                "text": pa.array([s + " tail" for s in t["text"].to_pylist()]),
+                "text": pa.compute.binary_join_element_wise(t["text"], pa.scalar(" tail"), ""),
             }
         ),
         batch_format="pyarrow",
     )
-    both = ds.union(near)
-    bands = both.map_batches(MinHasher, batch_format="pyarrow", concurrency=concurrency)
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(band_bucket_pairs, batch_format="pandas")
-    out = pairs.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
-    return out
+    return ds.union(near)
+
+
+def _minhash_pairs(corpus, concurrency, max_bucket_ids: int = 4096):
+    """Banded-LSH candidate pairs, deduped inside the Dataset (no driver
+    collect of the pair set).
+
+    The common case — a band bucket holding exactly 2 docs — is handled
+    entirely by a vectorized ``aggregate(Count, Min, Max)``: the pair IS
+    (min, max). Only buckets with ≥3 members (rare: real dup clusters
+    or 60-bit band-hash collisions) go through the per-group pair
+    expansion, and those degrade to star pairs past ``max_bucket_ids``
+    (never hit at fixture scale, so the all-pairs oracle SQL matches).
+    Round 1 ran map_groups over every bucket — ~16k tiny pandas groups
+    dominated the wall time."""
+    from ray.data.aggregate import Max, Min
+
+    bands = corpus.map_batches(MinHasher, batch_format="pyarrow", concurrency=concurrency)
+    agg = bands.groupby(["band", "band_hash"]).aggregate(
+        Count(alias_name="n"),
+        Min("doc_id", alias_name="a"),
+        Max("doc_id", alias_name="b"),
+    ).materialize()  # small: ≤ num_bands rows per doc; read twice below
+
+    pairs2 = agg.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["n"], 2)).select(["a", "b"]),
+        batch_format="pyarrow",
+    )
+    hot_keys = agg.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n"], 2)).select(["band", "band_hash"]),
+        batch_format="pyarrow",
+    ).take_all()  # bounded by #hot dup clusters, not #docs
+    pairs = pairs2
+    if hot_keys:
+        keyset = {(r["band"], r["band_hash"]) for r in hot_keys}
+        keys_ref = ray.put(keyset)
+
+        def in_hot(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            mask = [
+                (b, h) in ks
+                for b, h in zip(t["band"].to_pylist(), t["band_hash"].to_pylist())
+            ]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+        def hot_group_pairs(g: pa.Table) -> pa.Table:
+            df = band_bucket_pairs(g.to_pandas(), max_ids=max_bucket_ids)
+            return pa.table(
+                {"a": pa.array(df["a"], pa.int64()), "b": pa.array(df["b"], pa.int64())}
+            )
+
+        hot_pairs = (
+            bands.map_batches(in_hot, batch_format="pyarrow")
+            .groupby(["band", "band_hash"])
+            .map_groups(hot_group_pairs, batch_format="pyarrow")
+        )
+        pairs = pairs2.union(hot_pairs)
+    deduped = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_nbands"))
+    return deduped.select_columns(["a", "b"])
+
+
+def minhash_dup_candidates(sf_dir: str, *, concurrency=(1, 2)):
+    """MinHash-LSH near-dup candidates over documents ∪ near-identical
+    copy. SQL-checked: the md5/polynomial minhash spec (functions/dedup)
+    is recomputed exactly by the DuckDB oracle."""
+    return _minhash_pairs(_dup_corpus(sf_dir), concurrency)
 
 
 def simhash_fingerprints(sf_dir: str):
+    """60-bit SimHash per doc (SQL-checked against the md5 word-hash spec)."""
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(add_simhash, batch_format="pyarrow").select_columns(["doc_id", "simhash"])
+    fp = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 2))
+    return fp.select_columns(["doc_id", "simhash"])
 
 
 def language_id_predictions(sf_dir: str, *, concurrency=(1, 2)):
@@ -536,19 +602,49 @@ def top_revenue_orders(sf_dir: str, *, k: int = 10):
 
 def embedding_near_dup_pairs(sf_dir: str, *, bits: int = 10, threshold: float = 0.95):
     """Embedding-cosine near-dup: LSH bucket → exact cosine verify within
-    buckets (rows-only check; cosine pairs aren't SQL-stable)."""
+    buckets, over embeddings ∪ planted ground truth:
+
+    - exact copies  (vec_id + 1M): cosine 1.0 — identical vectors land in
+      identical buckets deterministically, so every (v, v+1M) pair MUST
+      appear (the oracle SQL enumerates exactly these);
+    - decoys        (vec_id + 2M): e + |e|·û with û ⊥ e → cosine ≈ 0.707,
+      well under the 0.95 threshold — present to prove the verify step
+      filters, never emitted (fixture max natural cosine ≈ 0.6).
+
+    Round 1 planted nothing and returned 0 rows — a vacuous check."""
     from .functions.ann import LshBucketer
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     dim = len(_parquet_head(path, ["vec_id", "embedding"], 1)["embedding"][0].as_py())
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
-    ds = ds.map_batches(
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        r = np.roll(mat, 1, axis=1)
+        unit = mat / np.where(norms == 0, 1, norms)
+        orth = r - (r * unit).sum(axis=1, keepdims=True) * unit
+        onorm = np.linalg.norm(orth, axis=1, keepdims=True)
+        decoy = mat + norms * orth / np.where(onorm == 0, 1, onorm)
+        out_ids = np.concatenate([ids, ids + 1_000_000, ids + 2_000_000])
+        out_mat = np.vstack([mat, mat, decoy])
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array([row.tolist() for row in out_mat], pa.list_(pa.float64())),
+            }
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    planted = planted.map_batches(
         LshBucketer, fn_constructor_kwargs=dict(dim=dim, bits=bits), batch_format="pyarrow", concurrency=(1, 2)
     )
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
         if len(group) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
+            return empty
         ids = group["vec_id"].to_numpy()
         mat = np.asarray(group["embedding"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -557,43 +653,60 @@ def embedding_near_dup_pairs(sf_dir: str, *, bits: int = 10, threshold: float = 
         sims = mat @ mat.T
         ii, jj = np.triu_indices(len(ids), k=1)
         mask = sims[ii, jj] >= threshold
-        return pd.DataFrame({"a": ids[ii][mask], "b": ids[jj][mask], "cos": sims[ii, jj][mask]})
+        if not mask.any():
+            return empty
+        a, b = ids[ii][mask], ids[jj][mask]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": lo, "b": hi})
 
-    pairs = ds.groupby("bucket").map_groups(verify, batch_format="pandas")
-    out = pairs.to_pandas()
-    if len(out):
-        out = out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
-    else:
-        # keep a stable schema even when no pair clears the threshold
-        out = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
-    return out
+    pairs = planted.groupby("bucket").map_groups(verify, batch_format="pandas")
+    # a pair can verify in at most one bucket (bucket id is a function of
+    # the vector), so no cross-bucket dedup is needed; still group to be
+    # robust to future multi-table LSH variants.
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
 
 
-def minhash_dup_verified(sf_dir: str, *, threshold: float = 0.5, concurrency=(1, 2)):
-    """MinHash-LSH candidates verified with exact n-gram Jaccard.
+def minhash_dup_verified(sf_dir: str, *, threshold: float = 0.5, concurrency=(1, 2), num_partitions: int = 8):
+    """MinHash-LSH candidates verified with exact n-gram Jaccard — fully
+    distributed: per-doc distinct gram-hash sets are computed once in a
+    map_batches pass, candidate pairs hash-join back to the two gram
+    sets (ships small int lists, never text), and the Jaccard kernel
+    runs inside map_batches. No driver-side text map or pair loop
+    (round 1 verified pairs serially on the driver)."""
+    from .functions.relational import bucket_lookup_join
 
-    Candidate pairs come from the banded-LSH groupby; verification
-    broadcasts the doc-id → text map (small at this sf; at scale the
-    verify joins candidates back to texts with a bucket join instead).
-    """
-    from .functions.dedup import ngram_jaccard
+    corpus = _dup_corpus(sf_dir)
+    # materialize the two small derived tables (pairs ≈ #dup clusters,
+    # gram sets ≈ 50 ints/doc) so the join executions run sequentially —
+    # a fully lazy DAG would re-derive the corpus per consumer and stack
+    # three actor pools at once (deadlocks a 4-CPU cluster); at 100 TB
+    # these would be parquet checkpoint writes instead.
+    pairs = _minhash_pairs(corpus, concurrency).materialize()
+    gsets = corpus.map_batches(GramSetter, batch_format="pyarrow", concurrency=concurrency).materialize()
 
-    cands = minhash_dup_candidates(sf_dir, concurrency=concurrency)
-    texts = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    tmap = dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
+    ltype = pa.list_(pa.int64())
+    j1 = bucket_lookup_join(
+        pairs, gsets, left_key="a", right_key="doc_id",
+        value_col="gram_set", out_col="gs_a", value_type=ltype, num_buckets=num_partitions,
+    )
+    j2 = bucket_lookup_join(
+        j1, gsets, left_key="b", right_key="doc_id",
+        value_col="gram_set", out_col="gs_b", value_type=ltype, num_buckets=num_partitions,
+    )
 
-    def text_of(i: int) -> str:
-        if i >= 1_000_000:
-            return tmap[i - 1_000_000] + " tail"  # the synthetic near-dup copy
-        return tmap[i]
+    def _jaccard_batch(t: pa.Table) -> pa.Table:
+        ga, gb = t["gs_a"].to_pylist(), t["gs_b"].to_pylist()
+        js = [jaccard_from_sets(x, y) for x, y in zip(ga, gb)]
+        keep = [i for i, j in enumerate(js) if j >= threshold]
+        return pa.table(
+            {
+                "a": t["a"].take(keep),
+                "b": t["b"].take(keep),
+                "jaccard": pa.array([round(js[i], 6) for i in keep], pa.float64()),
+            }
+        )
 
-    rows = []
-    for a, b in cands[["a", "b"]].itertuples(index=False):
-        j = ngram_jaccard(text_of(int(a)), text_of(int(b)))
-        if j >= threshold:
-            rows.append({"a": int(a), "b": int(b), "jaccard": round(j, 6)})
-    out = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
-    return out.sort_values(["a", "b"]).reset_index(drop=True) if len(out) else out
+    return j2.map_batches(_jaccard_batch, batch_format="pyarrow")
 
 
 def ann_topk_ivf(sf_dir: str, *, k: int = 10, num_queries: int = 5, n_lists: int = 8, nprobe: int = 3):

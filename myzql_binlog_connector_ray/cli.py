@@ -37,14 +37,31 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="myzql-binlog-connector-ray")
     parser.add_argument("mode", choices=["stdout", "parquet", "apply"])
     parser.add_argument("config", help="path to job config JSON")
-    parser.add_argument("-v", "--verbose", action="store_true")
+    parser.add_argument("-v", "--verbose", action="store_true", help="shorthand for --log-level debug")
+    parser.add_argument(
+        "--log-level",
+        choices=["debug", "info", "warn", "err"],
+        default="info",
+        help="runtime log threshold (reference: src/log_config.zig:20-33)",
+    )
+    parser.add_argument(
+        "--log-file",
+        default=None,
+        help="write plain-text logs to this file (truncated on open) instead of colored stderr",
+    )
     parser.add_argument("--limit", type=int, default=50, help="stdout mode: max rows printed")
     args = parser.parse_args(argv)
+
+    from .logging_config import get_logger, init as init_logging
+
+    init_logging("debug" if args.verbose else args.log_level, args.log_file)
+    log = get_logger("cli")
 
     from .config import JobConfig
 
     cfg = JobConfig.load(args.config)
     paths = _segment_paths(cfg)
+    log.info("mode=%s segments=%d dir=%s", args.mode, len(paths), cfg.segments_dir)
 
     import ray
 

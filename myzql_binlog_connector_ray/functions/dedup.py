@@ -1,32 +1,113 @@
 """Deduplication operators over a text column.
 
-All are expressed Ray-Data-first:
+All are expressed Ray-Data-first AND SQL-reproducibly: every hash
+primitive (word hash, shingle/gram hash, minhash permutation, LSH band
+hash, simhash) is built from md5 + integer polynomial arithmetic that a
+DuckDB oracle recomputes exactly — so the minhash/simhash queries are
+driver-checked value-for-value, not rows-only.
 
-- exact:    md5-hash column (vectorized) → groupby(hash) → first-by-id.
-  At 100 TB the groupby shuffles only (hash, id) pairs — the text
-  column is dropped before the exchange.
-- minhash:  shingle → 128 minhashes → banded LSH; candidate pairs come
-  from a groupby on (band, band_hash) — only keys whose band-bucket has
-  ≥2 members are shuffled onward; verification re-computes real Jaccard.
-- simhash:  64-bit fingerprint per doc; near-dups = identical value (or
-  small Hamming distance within buckets).
-- ngram-jaccard: the verifier kernel, usable standalone.
+Spec (mirrored 1:1 by the oracle SQL in ``__ray_entry__``):
+
+- word hash (31-bit):  ``wh(w)  = int(md5(w)[:8 hex], 16) & 0x7fffffff``
+- gram hash (k words): ``gh(i)  = sum_j wh(words[i+j]) * B^j  mod M31``
+  (doc shorter than k: one gram over all its words; empty doc: ``[0]``)
+- minhash perm p:      ``mh_p   = min over grams of (A_p*gh + C_p) mod M31``
+- LSH band hash:       ``bh(b)  = int(md5(",".join(str(mh) of band b))[:15 hex], 16)``
+- simhash (60-bit):    word hash ``int(md5(w)[:15 hex], 16)``; bit i set
+  iff the sum over word *occurrences* of (+1 if bit i else -1) > 0
+
+Every intermediate fits int64 (31-bit operands → products < 2^62), so
+numpy vectorizes the hot path and DuckDB reproduces it in plain BIGINT.
+
+Scale shapes:
+- exact:   md5 hash column → ``groupby(hash).aggregate(Min(id))`` —
+  the shuffle ships only (hash, id); text never crosses the exchange.
+- minhash: shingle → 128 minhashes → 16 banded LSH keys per doc; the
+  ``groupby(band, band_hash)`` shuffle ships 16 small rows per doc;
+  oversized buckets degrade to star pairs (min-id representative) so a
+  hot bucket emits O(n), not O(n²).
+- simhash: map_batches only, embarrassingly parallel.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterable
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# -- shared integer-hash spec (mirrored by the DuckDB oracle) ---------------
+
+M31 = (1 << 31) - 1  # modulus for gram/minhash arithmetic
+B_POLY = 1000003  # gram-hash polynomial base
+POW_B = np.array([pow(B_POLY, j, M31) for j in range(64)], dtype=np.int64)
+_SHIFTS60 = np.arange(60, dtype=np.int64)
+
+
+def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Per-permutation (A, C) constants; also embedded as literals in the
+    oracle SQL, so the RandomState seed is part of the spec."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, M31, size=num_perm).astype(np.int64)
+    c = rng.randint(0, M31, size=num_perm).astype(np.int64)
+    return a, c
+
+
+def word_hash31_array(words: list[str], cache: dict) -> np.ndarray:
+    """31-bit md5 word hashes (vocab-cached — Zipfian text makes the
+    cache hit rate high, so md5 runs once per distinct word per actor)."""
+    out = np.empty(len(words), dtype=np.int64)
+    get = cache.get
+    for i, w in enumerate(words):
+        h = get(w)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "big") & 0x7FFFFFFF
+            cache[w] = h
+        out[i] = h
+    return out
+
+
+def word_hash60_array(words: list[str], cache: dict) -> np.ndarray:
+    """60-bit md5 word hashes (first 15 hex chars) for simhash."""
+    out = np.empty(len(words), dtype=np.int64)
+    get = cache.get
+    for i, w in enumerate(words):
+        h = get(w)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") >> 4
+            cache[w] = h
+        out[i] = h
+    return out
+
+
+def gram_hashes(wh: np.ndarray, k: int = 5) -> np.ndarray:
+    """Word-k-gram hashes via a polynomial over word hashes — fully
+    vectorized (no per-gram digest calls, unlike round 1's blake2b)."""
+    n = len(wh)
+    if n == 0:
+        return np.zeros(1, dtype=np.int64)
+    if n < k:
+        return np.array([int((wh * POW_B[:n] % M31).sum() % M31)], dtype=np.int64)
+    ng = n - k + 1
+    acc = np.zeros(ng, dtype=np.int64)
+    for j in range(k):
+        acc += wh[j : j + ng] * POW_B[j] % M31
+    return acc % M31
+
+
+def band_hash(chunk: np.ndarray) -> int:
+    """60-bit band key over one band's minhash values (md5 of the
+    comma-joined decimal encoding; oracle: substr(md5(string_agg(...)),1,15))."""
+    s = ",".join(str(int(v)) for v in chunk)
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 4
+
+
 # -- exact dedup -------------------------------------------------------------
 
 
 def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "content_hash") -> pa.Table:
-    """Vectorized-ish md5 per row (C-speed hashing; no SQL-visible salt)."""
+    """md5 per row (C-speed hashing; matches DuckDB's md5())."""
     hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch[text_col].to_pylist()]
     return batch.append_column(out_col, pa.array(hashes, pa.string()))
 
@@ -35,113 +116,175 @@ def keep_first_by(group: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
     return group.nsmallest(1, id_col)
 
 
-# -- shingling / minhash -----------------------------------------------------
-
-_MERSENNE = (1 << 61) - 1
-
-
-def _minhash_params(num_perm: int, seed: int = 7):
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
-    return a, b
-
-
-def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Word k-gram 64-bit hashes (stable across processes: blake2b)."""
-    words = text.split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else [""]
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
-    return out
+# -- minhash -----------------------------------------------------------------
 
 
 class MinHasher:
     """Actor-pool stage: per-doc minhash signature + LSH band keys.
 
-    ``__init__`` builds the permutation tables once per actor;
-    ``__call__`` emits ``num_bands`` rows per doc: (doc_id, band,
-    band_hash) — the groupby key that buckets LSH candidates.
+    ``__init__`` builds the permutation constants and word-hash cache
+    once per actor; ``__call__`` emits ``num_bands`` rows per doc:
+    (doc_id, band, band_hash) — the groupby key that buckets LSH
+    candidates. The signature computation is one segmented numpy
+    min-reduction per chunk of docs (``np.minimum.reduceat``), chunked
+    so the (num_perm × grams) intermediate stays under ~64 MB.
     """
+
+    _CHUNK_GRAMS = 65536
 
     def __init__(self, num_perm: int = 128, num_bands: int = 16, k: int = 5, text_col: str = "text"):
         assert num_perm % num_bands == 0
-        self.a, self.b = _minhash_params(num_perm)
+        self.a, self.c = minhash_params(num_perm)
         self.num_perm = num_perm
         self.num_bands = num_bands
         self.rows_per_band = num_perm // num_bands
         self.k = k
         self.text_col = text_col
+        self._wcache: dict = {}
 
     def signature(self, text: str) -> np.ndarray:
-        sh = shingle_hashes(text, self.k)
-        if len(sh) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        # (a * x + b) mod p, min over shingles, per permutation
-        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
+        gh = gram_hashes(word_hash31_array(text.split(), self._wcache), self.k)
+        vals = (gh[None, :] * self.a[:, None] + self.c[:, None]) % M31
         return vals.min(axis=1)
 
+    def _signatures(self, texts: list[str]) -> np.ndarray:
+        """(ndocs, num_perm) signatures, vectorized across docs."""
+        ghs = [gram_hashes(word_hash31_array(t.split(), self._wcache), self.k) for t in texts]
+        lens = np.array([len(g) for g in ghs], dtype=np.int64)
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.int64)
+        start = 0
+        while start < len(texts):
+            end = start
+            total = 0
+            while end < len(texts) and (total == 0 or total + lens[end] <= self._CHUNK_GRAMS):
+                total += lens[end]
+                end += 1
+            allg = np.concatenate(ghs[start:end])
+            vals = (allg[None, :] * self.a[:, None] + self.c[:, None]) % M31
+            offsets = np.zeros(end - start, dtype=np.int64)
+            np.cumsum(lens[start : end - 1], out=offsets[1:])
+            sigs[start:end] = np.minimum.reduceat(vals, offsets, axis=1).T
+            start = end
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out_doc, out_band, out_hash = [], [], []
-        for did, text in zip(doc_ids, texts):
-            sig = self.signature(text)
-            for band in range(self.num_bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                out_doc.append(did)
-                out_band.append(band)
-                out_hash.append(int.from_bytes(h, "little") >> 1)
+        doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sigs = self._signatures(batch[self.text_col].to_pylist())
+        nb, rpb = self.num_bands, self.rows_per_band
+        hashes = np.empty(len(doc_ids) * nb, dtype=np.int64)
+        for i in range(len(doc_ids)):
+            row = sigs[i]
+            base = i * nb
+            for b in range(nb):
+                hashes[base + b] = band_hash(row[b * rpb : (b + 1) * rpb])
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, nb), pa.int64()),
+                "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), len(doc_ids)), pa.int32()),
+                "band_hash": pa.array(hashes, pa.int64()),
             }
         )
 
 
-def band_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """(band, band_hash) group → candidate pairs (a < b), deduped later."""
+class GramSetter:
+    """Actor-pool stage: per-doc sorted distinct gram-hash set (for the
+    distributed Jaccard verify — ships small int lists instead of text)."""
+
+    def __init__(self, k: int = 5, text_col: str = "text"):
+        self.k = k
+        self.text_col = text_col
+        self._wcache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sets = [
+            np.unique(gram_hashes(word_hash31_array(t.split(), self._wcache), self.k)).tolist()
+            for t in batch[self.text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "gram_set": pa.array(sets, pa.list_(pa.int64())),
+            }
+        )
+
+
+def band_bucket_pairs(group: pd.DataFrame, max_ids: int | None = None) -> pd.DataFrame:
+    """(band, band_hash) group → candidate pairs (a < b), deduped later.
+
+    ``max_ids`` caps hot buckets: beyond it the bucket degrades to star
+    pairs (every id paired with the bucket's min id) — O(n) instead of
+    O(n²), still enough to union the duplicate cluster through its
+    representative. The oracle SQL emits all pairs, so callers at test
+    scale pick a cap their data never hits (fixture buckets hold ≤2 ids).
+    """
     ids = sorted(group["doc_id"].unique().tolist())
     if len(ids) < 2:
         return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-    pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+    if max_ids is not None and len(ids) > max_ids:
+        rep = ids[0]
+        pairs = [(rep, other) for other in ids[1:]]
+    else:
+        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
     return pd.DataFrame(pairs, columns=["a", "b"])
+
+
+def jaccard_from_sets(sa: list[int], sb: list[int]) -> float:
+    """Exact Jaccard over two distinct-gram-hash sets."""
+    a, b = set(sa), set(sb)
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     """Exact word-k-gram Jaccard (the LSH verification kernel)."""
-    sa = set(shingle_hashes(text_a, k).tolist())
-    sb = set(shingle_hashes(text_b, k).tolist())
-    if not sa and not sb:
-        return 1.0
-    inter = len(sa & sb)
-    return inter / (len(sa) + len(sb) - inter)
+    cache: dict = {}
+    sa = gram_hashes(word_hash31_array(text_a.split(), cache), k).tolist()
+    sb = gram_hashes(word_hash31_array(text_b.split(), cache), k).tolist()
+    return jaccard_from_sets(sa, sb)
 
 
 # -- simhash -----------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigrams (stable blake2b word hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in text.split():
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+class SimHasher:
+    """Actor-pool stage: 60-bit SimHash over word occurrences (word-hash
+    cache shared across the actor's batches; bit counting vectorized
+    with a single segmented sum per batch)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self._wcache: dict = {}
+
+    def simhash(self, text: str) -> int:
+        words = text.split()
+        if not words:
+            return 0
+        hs = word_hash60_array(words, self._wcache)
+        acc = (((hs[:, None] >> _SHIFTS60) & 1) * 2 - 1).sum(axis=0)
+        return int(((acc > 0).astype(np.int64) << _SHIFTS60).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        word_lists = [t.split() for t in texts]
+        lens = np.array([len(w) for w in word_lists], dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            all_h = word_hash60_array([w for ws in word_lists for w in ws], self._wcache)
+            bits = ((all_h[:, None] >> _SHIFTS60) & 1) * 2 - 1  # (total_words, 60)
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+            acc = np.add.reduceat(bits, offsets, axis=0)  # (ndocs_nonempty, 60)
+            out[nonempty] = ((acc > 0).astype(np.int64) << _SHIFTS60[None, :]).sum(axis=1)
+        return batch.append_column("simhash", pa.array(out, pa.int64()))
+
+
+def simhash60(text: str) -> int:
+    """Standalone 60-bit simhash (see SimHasher for the batched path)."""
+    return SimHasher().simhash(text)
 
 
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    vals = [simhash64(t) >> 1 for t in batch[text_col].to_pylist()]  # >>1: fit int64
-    return batch.append_column("simhash", pa.array(vals, pa.int64()))
+    return SimHasher(text_col=text_col)(batch)

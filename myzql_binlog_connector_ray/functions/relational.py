@@ -94,6 +94,70 @@ def bucket_join_groups(
     return pa.Table.from_pandas(merged, preserve_index=False)
 
 
+def bucket_lookup_join(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    value_col: str,
+    out_col: str,
+    value_type: pa.DataType,
+    num_buckets: int = 16,
+):
+    """Attach ``right[value_col]`` to every left row matching on key —
+    a bucketed hash join built from groupby (one shuffle, B-way
+    parallel). Exists because Ray's native ``Dataset.join`` (Acero
+    underneath) rejects list-typed non-key columns, which is exactly
+    what the dedup verify needs to carry (gram-hash sets). Inner join:
+    left rows without a match are dropped.
+    """
+    import pyarrow.compute as pc
+
+    left_schema = left.schema()
+    left_names = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in left_names}
+        cols[out_col] = pa.nulls(len(t), value_type)
+        out = pa.table(cols)
+        b = hash_bucket(t[left_key].to_pylist(), num_buckets)
+        return out.append_column("bucket", pa.array(b, pa.int32())).append_column(
+            "side", pa.array(["l"] * len(t), pa.string())
+        )
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in left_names:
+            if name == left_key:
+                cols[name] = pc.cast(t[right_key], left_types[name])
+            else:
+                cols[name] = pa.nulls(len(t), left_types[name])
+        cols[out_col] = pc.cast(t[value_col], value_type)
+        out = pa.table(cols)
+        b = hash_bucket(t[right_key].to_pylist(), num_buckets)
+        return out.append_column("bucket", pa.array(b, pa.int32())).append_column(
+            "side", pa.array(["r"] * len(t), pa.string())
+        )
+
+    def join_group(g: pa.Table) -> pa.Table:
+        mask = pc.equal(g["side"], "l")
+        lt = g.filter(mask)
+        rt = g.filter(pc.invert(mask))
+        lookup = dict(zip(rt[left_key].to_pylist(), rt[out_col].to_pylist()))
+        keys = lt[left_key].to_pylist()
+        vals = [lookup.get(k) for k in keys]
+        keep = [i for i, v in enumerate(vals) if v is not None]
+        out = lt.drop_columns(["bucket", "side", out_col]).take(keep)
+        return out.append_column(out_col, pa.array([vals[i] for i in keep], value_type))
+
+    both = left.map_batches(prep_left, batch_format="pyarrow").union(
+        right.map_batches(prep_right, batch_format="pyarrow")
+    )
+    return both.groupby("bucket").map_groups(join_group, batch_format="pyarrow")
+
+
 def asof_join_group(
     group: pd.DataFrame,
     key: str,

@@ -109,6 +109,13 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fps, pa.list_(pa.int64())))
 
 
+# GPT-2-style pre-tokenizer, restricted to RE2-compatible constructs
+# (no lookahead, explicit ASCII classes) so the DuckDB oracle counts the
+# exact same matches with regexp_extract_all. Python re and RE2 are both
+# leftmost-first over these alternatives.
+BPEISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
 class BpeishTokenCounter:
     """Token counting with a GPT-2-style pre-tokenizer regex — the
     common approximation for LLM token budgeting when the real BPE
@@ -118,10 +125,7 @@ class BpeishTokenCounter:
         import re
 
         self.text_col = text_col
-        self.pat = re.compile(
-            r"'(?:[sdmt]|ll|ve|re)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
-            re.UNICODE,
-        )
+        self.pat = re.compile(BPEISH_PATTERN)
 
     def count(self, text: str) -> int:
         return len(self.pat.findall(text))

@@ -301,7 +301,16 @@ def run_ingest(
         write=True,
         pre_partitioned=True,
     )
-    return summaries.take_all()  # small: one row per partition
+    rows = summaries.take_all()  # small: one row per partition
+    from ..logging_config import get_logger
+
+    log = get_logger("pipeline")
+    committed = sum(1 for s in rows if not s.get("skipped"))
+    log.debug(
+        "ingest: %d segments → %d/%d partitions committed (%d rows)",
+        len(segment_paths), committed, len(rows), sum(s.get("rows", 0) for s in rows),
+    )
+    return rows
 
 
 def read_lake(lake_dir: str) -> ray.data.Dataset:

@@ -64,3 +64,39 @@ def test_cli_rejects_bad_config(tmp_path):
     bad.write_text(json.dumps({"segments_dir": "/nonexistent", "from_binlog_position": 1}))
     r = _run_cli("stdout", str(bad))
     assert r.returncode != 0
+
+
+def test_cli_log_file_plain_text(cli_env, tmp_path):
+    """B6 parity: --log-file writes plain 'level(scope): msg' lines
+    (no ANSI), truncating on open (reference: src/log_config.zig:20-96)."""
+    logf = tmp_path / "run.log"
+    r = _run_cli("stdout", cli_env["cfg"], "--limit", "1", "--log-file", str(logf), "--log-level", "debug")
+    assert r.returncode == 0, r.stderr[-2000:]
+    text = logf.read_text()
+    assert "info(cli): mode=stdout" in text
+    assert "\x1b[" not in text  # plain text, no color in the file sink
+    # truncate-on-open: a second run does not append
+    r = _run_cli("stdout", cli_env["cfg"], "--limit", "1", "--log-file", str(logf))
+    assert r.returncode == 0
+    assert logf.read_text().count("mode=stdout") == 1
+
+
+def test_cli_log_level_filters(cli_env, tmp_path):
+    """Runtime threshold: err suppresses info/debug entirely."""
+    logf = tmp_path / "err.log"
+    r = _run_cli("stdout", cli_env["cfg"], "--limit", "1", "--log-file", str(logf), "--log-level", "err")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "info(cli)" not in logf.read_text()
+
+
+def test_scoped_logger_unit(tmp_path):
+    from myzql_binlog_connector_ray.logging_config import get_logger, init
+
+    logf = tmp_path / "scoped.log"
+    init("debug", str(logf))
+    get_logger("decode").debug("hello %d", 7)
+    get_logger().info("plain")
+    init("warn", str(tmp_path / "other.log"))  # re-init closes the old handler
+    text = logf.read_text()
+    assert "debug(decode): hello 7" in text
+    assert "info: plain" in text

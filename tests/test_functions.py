@@ -12,7 +12,7 @@ from myzql_binlog_connector_ray.functions.dedup import (
     add_simhash,
     band_bucket_pairs,
     ngram_jaccard,
-    simhash64,
+    simhash60,
 )
 from myzql_binlog_connector_ray.functions.multimodal import (
     DecodeStub,
@@ -86,14 +86,21 @@ def test_ngram_jaccard():
 
 
 def test_simhash_properties():
-    a = simhash64("the quick brown fox " * 20)
-    b = simhash64("the quick brown fox " * 20)
-    c = simhash64("completely different text about other things " * 20)
+    a = simhash60("the quick brown fox " * 20)
+    b = simhash60("the quick brown fox " * 20)
+    c = simhash60("completely different text about other things " * 20)
     assert a == b
+    assert 0 <= a < (1 << 60)
     ham = bin(a ^ c).count("1")
     assert ham > 4
     out = add_simhash(_docs_batch())
     assert out["simhash"].to_pylist()[0] == out["simhash"].to_pylist()[1]
+    # batched path == scalar path
+    from myzql_binlog_connector_ray.functions.dedup import SimHasher
+
+    sh = SimHasher()
+    assert out["simhash"].to_pylist() == [sh.simhash(t) for t in _docs_batch()["text"].to_pylist()]
+    assert sh.simhash("") == 0
 
 
 def test_token_count_batch():

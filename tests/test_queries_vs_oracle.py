@@ -75,20 +75,22 @@ SQL_CHECKED = [
     "lang_distribution",
     "ann_topk_bruteforce",
     "binary_payload_stats",
+    # round 2: hash kernels respecified in md5+integer-polynomial
+    # arithmetic so DuckDB recomputes them exactly
+    "minhash_dup_candidates",
+    "minhash_dup_verified",
+    "simhash_fingerprints",
+    "language_id_predictions",
+    "token_count_bpe_by_lang",
+    "multimodal_decode_fake",
+    "ann_topk_lsh",
+    "embedding_near_dup_pairs",
 ]
 
 ROWS_ONLY = [
-    "minhash_dup_verified",
-    "ann_topk_ivf",
-    "token_count_bpe_by_lang",
-    "embedding_near_dup_pairs",
-    "ingest_exactly_once",
-    "minhash_dup_candidates",
-    "simhash_fingerprints",
-    "language_id_predictions",
-    "doc_fingerprints",
-    "ann_topk_lsh",
-    "multimodal_decode_fake",
+    "ann_topk_ivf",  # data-dependent k-means centroids aren't SQL-static
+    "ingest_exactly_once",  # stateful two-run protocol
+    "doc_fingerprints",  # byte-level rolling hash; SQL can't iterate octets sanely
 ]
 
 

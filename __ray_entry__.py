@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": api.doc_fingerprints,
         "ann_topk_lsh": api.ann_topk_lsh,
         "multimodal_decode_fake": api.multimodal_decode_fake,
+        "multimodal_decode": api.multimodal_decode,
         "embedding_near_dup_pairs": api.embedding_near_dup_pairs,
         "minhash_dup_verified": api.minhash_dup_verified,
         "ann_topk_ivf": api.ann_topk_ivf,
@@ -135,6 +136,84 @@ def _lsh_bucket_expr(bits: int = 4, dim: int = 64, seed: int = 11) -> str:
         lit = "[" + ", ".join(repr(float(x)) for x in planes[b]) + "]"
         cases.append(f"(CASE WHEN list_dot_product(embedding, {lit}) > 0 THEN {1 << b} ELSE 0 END)")
     return " + ".join(cases)
+
+
+def _fingerprint_cte() -> str:
+    """Winnowing fingerprint recomputed in SQL — identical values to
+    functions.text.rolling_fingerprint (shared FP_* spec constants)."""
+    from myzql_binlog_connector_ray.functions.text import (
+        FP_BASE,
+        FP_KEEP_MOD,
+        FP_MOD,
+        FP_WINDOW,
+    )
+
+    terms = " + ".join(
+        f"c[i+{j}]*{pow(FP_BASE, FP_WINDOW - 1 - j, FP_MOD)}" for j in range(FP_WINDOW)
+    )
+    return f"""
+      cp AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS BIGINT)) AS c,
+               length(text) AS L
+        FROM documents
+      ),
+      hs AS (
+        SELECT doc_id, L, c,
+               list_transform(range(1, L - {FP_WINDOW - 2}), i -> ({terms}) % {FP_MOD}) AS h
+        FROM cp
+      ),
+      fp AS (
+        SELECT doc_id,
+          CASE
+            WHEN L = 0 THEN [CAST(0 AS BIGINT)]
+            WHEN L < {FP_WINDOW} THEN [list_reduce(c, (a, b) -> (a*{FP_BASE}+b) % {FP_MOD}) // 2]
+            WHEN len(list_filter(h, x -> x % {FP_KEEP_MOD} = 0)) = 0 THEN [h[-1] // 2]
+            ELSE list_transform(list_filter(h, x -> x % {FP_KEEP_MOD} = 0), x -> x // 2)
+          END AS f
+        FROM hs
+      )
+    """
+
+
+def _media_expected_cte() -> str:
+    """Expected multimodal_decode output recomputed from media_id via
+    the closed-form payload spec (functions.media_codec synth_payload):
+    byte j of an image/video carries (j+id) % 251, audio sample j
+    carries ((7j+id) % 4096) - 2048."""
+    return """
+      media AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        FROM documents
+      ),
+      dims AS (
+        SELECT media_id, kind,
+          CASE kind WHEN 'image' THEN 8 + media_id % 24
+                    WHEN 'video' THEN 8 + media_id % 16 ELSE 0 END AS width,
+          CASE kind WHEN 'image' THEN 8 + (media_id // 3) % 24
+                    WHEN 'video' THEN 8 + (media_id // 2) % 16 ELSE 0 END AS height,
+          CASE kind WHEN 'image' THEN 1
+                    WHEN 'video' THEN 2 + media_id % 4
+                    ELSE 800 + media_id % 800 END AS n_frames
+        FROM media
+      ),
+      expected AS (
+        SELECT media_id, kind, width, height, n_frames,
+          CASE kind WHEN 'image' THEN 0
+                    WHEN 'audio' THEN n_frames // 8
+                    ELSE n_frames * 40 END AS duration_ms,
+          CASE kind
+            WHEN 'audio' THEN
+              list_sum(list_transform(range(0, n_frames), j -> (7*j + media_id) % 4096 - 2048))
+            WHEN 'image' THEN
+              list_sum(list_transform(range(0, 3 * width * height), j -> (j + media_id) % 251))
+            ELSE
+              list_sum(list_transform(range(0, n_frames * width * height), j -> (j + media_id) % 251))
+          END AS checksum
+        FROM dims
+      )
+    """
 
 
 # Shared CTE mapping documents → the derived repo-content key space
@@ -341,6 +420,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
         """,
+        "doc_fingerprints": f"""
+            WITH {_fingerprint_cte()}
+            SELECT doc_id,
+                   CAST(len(f) AS BIGINT) AS n_fingerprints,
+                   CAST(list_min(f) AS BIGINT) AS fp_min,
+                   CAST(list_max(f) AS BIGINT) AS fp_max,
+                   CAST(list_sum(f) AS BIGINT) AS fp_sum
+            FROM fp
+        """,
         "language_id_predictions": f"""
             SELECT doc_id, lang,
                    CASE
@@ -369,6 +457,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'video' END AS kind,
                    CAST(16 AS BIGINT) AS feat_dim
             FROM documents
+        """,
+        "multimodal_decode": f"""
+            WITH {_media_expected_cte()}
+            SELECT media_id, kind,
+                   CAST(width AS INTEGER) AS width,
+                   CAST(height AS INTEGER) AS height,
+                   CAST(n_frames AS INTEGER) AS n_frames,
+                   CAST(duration_ms AS INTEGER) AS duration_ms,
+                   CAST(checksum AS BIGINT) AS checksum
+            FROM expected
         """,
         "ann_topk_lsh": f"""
             WITH e AS (SELECT vec_id, embedding, {_lsh_bucket_expr()} AS bucket FROM embeddings),

@@ -309,17 +309,25 @@ def language_id_predictions(sf_dir: str, *, concurrency=(1, 2)):
 
 
 def doc_fingerprints(sf_dir: str):
+    """Per-doc winnowing sketch summary — value-bearing (min/max/sum of
+    the kept hashes) so the DuckDB oracle checks the hash VALUES, not
+    just the counts."""
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
     fp = ds.map_batches(add_fingerprint, batch_format="pyarrow")
-    return fp.map_batches(
-        lambda t: pa.table(
+
+    def summarize(t: pa.Table) -> pa.Table:
+        fps = t["fingerprint"].to_pylist()
+        return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_fingerprints": pa.array([len(x) for x in t["fingerprint"].to_pylist()], pa.int64()),
+                "n_fingerprints": pa.array([len(x) for x in fps], pa.int64()),
+                "fp_min": pa.array([min(x) for x in fps], pa.int64()),
+                "fp_max": pa.array([max(x) for x in fps], pa.int64()),
+                "fp_sum": pa.array([sum(x) for x in fps], pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return fp.map_batches(summarize, batch_format="pyarrow")
 
 
 def ann_topk_lsh(sf_dir: str, *, k: int = 10, num_queries: int = 5, bits: int = 4):
@@ -371,6 +379,23 @@ def multimodal_decode_fake(sf_dir: str, *, concurrency=(1, 2)):
             }
         ),
         batch_format="pyarrow",
+    )
+
+
+def multimodal_decode(sf_dir: str, *, concurrency=(1, 4)):
+    """REAL media decode: closed-form BMP / WAV / y4m payloads →
+    actor-pool container decode → structural facts + logical checksum.
+    The oracle recomputes every output field from media_id alone, so a
+    decode bug (padding, endianness, chunk walk) fails the check."""
+    from .functions.multimodal import MediaDecoder, synth_media_batch
+
+    ds = _docs_ds(sf_dir, ["doc_id"])
+    media = ds.map_batches(synth_media_batch, batch_format="pyarrow")
+    return media.map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=256,  # payload-width-aware batch sizing
+        concurrency=concurrency,
     )
 
 

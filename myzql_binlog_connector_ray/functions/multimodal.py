@@ -85,6 +85,68 @@ class DecodeStub:
         )
 
 
+def synth_media_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Fixture adapter: deterministic closed-form media payloads (real
+    BMP / WAV / y4m containers — see functions.media_codec) keyed by
+    doc_id, so the decode stage can be oracle-checked end to end."""
+    from .media_codec import media_kind, synth_payload
+
+    ids = batch[id_col].to_pylist()
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array([media_kind(i) for i in ids], pa.string()),
+            "payload": pa.array([synth_payload(i) for i in ids], pa.binary()),
+        }
+    )
+
+
+class MediaDecoder:
+    """Actor-pool stage: REAL container decode (BMP / WAV PCM16 / y4m)
+    → structural facts + a checksum over the logical pixel/sample
+    array. Pure numpy + struct — no external media libraries — so the
+    decode path (header parse, row padding, channel order, chunk walk,
+    frame framing) is genuinely exercised, unlike DecodeStub.
+
+    Callers should keep ``batch_size`` small: payload_bytes ×
+    batch_size × concurrency must fit the worker heap.
+    """
+
+    def __init__(self):
+        from . import media_codec
+
+        self.codec = media_codec
+
+    def _decode_one(self, payload: bytes, kind: str) -> tuple[int, int, int, int, int]:
+        c = self.codec
+        if kind == "image":
+            img = c.decode_bmp(payload)
+            h, w, _ = img.shape
+            return w, h, 1, 0, int(img.astype(np.int64).sum())
+        if kind == "audio":
+            samples, rate = c.decode_wav(payload)
+            n = len(samples)
+            return 0, 0, n, n * 1000 // rate, int(samples.astype(np.int64).sum())
+        frames, fps = c.decode_y4m(payload)
+        f, h, w = frames.shape
+        return w, h, f, f * 1000 // fps, int(frames.astype(np.int64).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [
+            self._decode_one(p, k)
+            for p, k in zip(batch["payload"].to_pylist(), batch["kind"].to_pylist())
+        ]
+        w, h, f, dur, chk = zip(*rows) if rows else ((), (), (), (), ())
+        out = batch.drop_columns(["payload"])
+        return (
+            out.append_column("width", pa.array(w, pa.int32()))
+            .append_column("height", pa.array(h, pa.int32()))
+            .append_column("n_frames", pa.array(f, pa.int32()))
+            .append_column("duration_ms", pa.array(dur, pa.int32()))
+            .append_column("checksum", pa.array(chk, pa.int64()))
+        )
+
+
 def payload_stats(batch: pa.Table) -> pa.Table:
     """Metadata-only pass: size accounting without touching payload bytes
     beyond the buffer length (zero-copy friendly)."""

@@ -84,24 +84,44 @@ class QualityScorer:
             .append_column("q_mean_word_len", pa.array(mean_wlen, pa.float64()))
 
 
-def rolling_fingerprint(text: str, window: int = 16, keep_mod: int = 8) -> list[int]:
-    """Winnowing-style fingerprint: rolling hash over byte windows, keep
-    hashes ≡ 0 (mod keep_mod). Deterministic document sketch."""
-    data = text.encode("utf-8")
-    if len(data) < window:
-        h = int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+# Winnowing fingerprint spec — shared with the DuckDB oracle, which
+# recomputes the exact same values via list_transform/list_filter over
+# codepoints. Window hash of codepoints c[i..i+W-1] is the polynomial
+# sum(c[i+j] * BASE^(W-1-j)) mod MOD; keep hashes ≡ 0 (mod KEEP_MOD),
+# emit h >> 1. MOD = 2^31-1 keeps every intermediate product within
+# int64 (codepoint < 2^21, power < 2^31, 16-term sum < 2^57) so numpy
+# and SQL BIGINT arithmetic agree exactly.
+FP_BASE = 257
+FP_MOD = (1 << 31) - 1
+FP_WINDOW = 16
+FP_KEEP_MOD = 8
+_FP_POWERS = np.array(
+    [pow(FP_BASE, FP_WINDOW - 1 - j, FP_MOD) for j in range(FP_WINDOW)], dtype=np.int64
+)
+
+
+def rolling_fingerprint(text: str, window: int = FP_WINDOW, keep_mod: int = FP_KEEP_MOD) -> list[int]:
+    """Winnowing-style fingerprint: polynomial hash over codepoint
+    windows, keep hashes ≡ 0 (mod keep_mod); falls back to the last
+    window (or the whole-text hash for short docs) so the sketch is
+    never empty. Vectorized: one (L-W+1, W) @ (W,) int64 matmul."""
+    if not text:
+        return [0]
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if len(cp) < window:
+        h = 0
+        for c in cp.tolist():
+            h = (h * FP_BASE + c) % FP_MOD
         return [h >> 1]
-    B, M = 257, (1 << 61) - 1
-    power = pow(B, window - 1, M)
-    h = 0
-    out = []
-    for i, byte in enumerate(data):
-        if i >= window:
-            h = (h - data[i - window] * power) % M
-        h = (h * B + byte) % M
-        if i >= window - 1 and h % keep_mod == 0:
-            out.append(h >> 1)
-    return out or [h >> 1]
+    windows = np.lib.stride_tricks.sliding_window_view(cp, window)
+    powers = _FP_POWERS if window == FP_WINDOW else np.array(
+        [pow(FP_BASE, window - 1 - j, FP_MOD) for j in range(window)], dtype=np.int64
+    )
+    hashes = (windows @ powers) % FP_MOD
+    kept = hashes[hashes % keep_mod == 0]
+    if kept.size == 0:
+        return [int(hashes[-1]) >> 1]
+    return (kept >> 1).tolist()
 
 
 def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -62,13 +62,18 @@ def lww_combine(batch: pa.Table) -> pa.Table:
 
     Associative pre-reduce of the LWW fold — run before the groupby so
     the all-to-all exchange ships at most one row per key per block.
-    Sort is over the two int order columns only (never the long string
-    keys — drop_duplicates hash-dedups those at C speed).
+    Pure pyarrow (sort over the two int order columns + hash group_by
+    'last'): the wide ``content`` strings never round-trip through
+    pandas object arrays.
     """
-    df = batch.to_pandas()
-    df = df.sort_values(ORDER_COLS, kind="stable")
-    df = df.drop_duplicates(KEY_COLS, keep="last")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    import pyarrow.compute as pc
+
+    from .apply_arrow import _last_per_key
+
+    ordered = batch.take(
+        pc.sort_indices(batch, sort_keys=[(c, "ascending") for c in ORDER_COLS])
+    )
+    return _last_per_key(ordered.combine_chunks()).select(batch.column_names)
 
 
 def sha256_hex(values) -> list[str]:

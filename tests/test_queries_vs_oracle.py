@@ -85,12 +85,13 @@ SQL_CHECKED = [
     "multimodal_decode_fake",
     "ann_topk_lsh",
     "embedding_near_dup_pairs",
+    "doc_fingerprints",  # codepoint polynomial windows recomputed via list_transform
+    "multimodal_decode",  # real BMP/WAV/y4m decode vs closed-form payload spec
 ]
 
 ROWS_ONLY = [
     "ann_topk_ivf",  # data-dependent k-means centroids aren't SQL-static
     "ingest_exactly_once",  # stateful two-run protocol
-    "doc_fingerprints",  # byte-level rolling hash; SQL can't iterate octets sanely
 ]
 
 

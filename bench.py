@@ -49,6 +49,21 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # exchange implementation for the groupby("part") apply shuffle:
+    #   sort-pull (Ray default) | sort-push | hash (streaming hash-
+    #   partition aggregators — overlaps the exchange with decode)
+    strategy = os.environ.get("GRAFT_SHUFFLE")
+    if strategy:
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = {
+            "sort-pull": ShuffleStrategy.SORT_SHUFFLE_PULL_BASED,
+            "sort-push": ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED,
+            "hash": ShuffleStrategy.HASH_SHUFFLE,
+        }[strategy]
+    blk = os.environ.get("GRAFT_TARGET_BLOCK_MB")
+    if blk:
+        ctx.target_max_block_size = int(blk) * 1024 * 1024
 
     from myzql_binlog_connector_ray import api
     from myzql_binlog_connector_ray.fixtures.change_stream import materialize
@@ -79,6 +94,7 @@ def run_bench() -> dict:
             while f.read(1 << 24):
                 pass
 
+    exchange = os.environ.get("GRAFT_EXCHANGE", "staged")
     lake_src = api._fresh_lake(fx, NUM_PARTITIONS)
     # proportional pool sizing (same fraction at every CPU level so the
     # scaling comparison is honest); remainder serves read/shuffle/apply
@@ -89,7 +105,7 @@ def run_bench() -> dict:
     warm_lake = os.path.join(fx["root"], f"warm_lake_{NUM_CPUS}")
     shutil.rmtree(warm_lake, ignore_errors=True)
     shutil.copytree(lake_src, warm_lake)
-    run_ingest(fx["segment_paths"][:2], warm_lake, num_partitions=NUM_PARTITIONS, concurrency=concurrency)
+    run_ingest(fx["segment_paths"][:2], warm_lake, num_partitions=NUM_PARTITIONS, concurrency=concurrency, exchange=exchange)
     shutil.rmtree(warm_lake, ignore_errors=True)
 
     # best of 2 runs: the sandbox host shows heavy CPU-steal variance;
@@ -106,6 +122,7 @@ def run_bench() -> dict:
             lake_dir,
             num_partitions=NUM_PARTITIONS,
             concurrency=concurrency,
+            exchange=exchange,
         )
         ingest_sec = min(ingest_sec, time.perf_counter() - t0)
 

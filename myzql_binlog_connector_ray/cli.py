@@ -6,7 +6,10 @@ Modes (reference: src/main.zig:85-299):
 - ``parquet`` : decode segments → 9-column envelope Parquet
                 (reference parquet mode);
 - ``apply``   : decode → LWW upsert into the Parquet lake with
-                exactly-once manifests (north rule extension).
+                exactly-once manifests (north rule extension);
+- ``tail``    : live MySQL replication tail (sources.mysql_wire) →
+                segment files in segments_dir, ready for the other
+                modes (reference socket mode, src/main.zig:85-299).
 
 Usage:
     python -m myzql_binlog_connector_ray.cli <mode> config.json [-v]
@@ -35,7 +38,7 @@ def _segment_paths(cfg) -> list[str]:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="myzql-binlog-connector-ray")
-    parser.add_argument("mode", choices=["stdout", "parquet", "apply"])
+    parser.add_argument("mode", choices=["stdout", "parquet", "apply", "tail"])
     parser.add_argument("config", help="path to job config JSON")
     parser.add_argument("-v", "--verbose", action="store_true", help="shorthand for --log-level debug")
     parser.add_argument(
@@ -60,6 +63,26 @@ def main(argv=None) -> int:
     from .config import JobConfig
 
     cfg = JobConfig.load(args.config)
+
+    if args.mode == "tail":
+        from .sources.binlog_tail import tail_binlog_to_segments
+
+        manifests = tail_binlog_to_segments(
+            cfg.segments_dir,
+            host=cfg.host or "127.0.0.1",
+            port=cfg.port,
+            user=cfg.user or "root",
+            password=cfg.password or "",
+            start_file=cfg.from_binlog_file or "binlog.000001",
+            start_position=cfg.from_binlog_position,
+            stop_file=cfg.to_binlog_file,
+            stop_position=cfg.to_binlog_position,
+        )
+        for m in manifests:
+            print(f"{m.segment}: {m.events} events, {m.bytes} bytes -> {m.path}")
+        log.info("tailed %d segments into %s", len(manifests), cfg.segments_dir)
+        return 0
+
     paths = _segment_paths(cfg)
     log.info("mode=%s segments=%d dir=%s", args.mode, len(paths), cfg.segments_dir)
 

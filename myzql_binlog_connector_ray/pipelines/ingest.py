@@ -107,6 +107,7 @@ def decode_typed(
     dedup_keys: Optional[list[str]] = None,
     num_partitions: Optional[int] = None,
     scheduling: str = "auto",
+    staging_dir: Optional[str] = None,
 ) -> ray.data.Dataset:
     """Segments → typed change rows for one table (no JSON detour).
 
@@ -145,6 +146,7 @@ def decode_typed(
         max_ordinal=max_ordinal,
         dedup_keys=dedup_keys,
         num_partitions=num_partitions,
+        staging_dir=staging_dir,
     )
     if scheduling == "tasks":
         return segments.map_batches(
@@ -277,31 +279,81 @@ def run_ingest(
     concurrency=None,
     min_ordinal: Optional[int] = None,
     max_ordinal: Optional[int] = None,
+    exchange: str = "staged",
 ) -> list[dict]:
     """Transactional ingest: decode → upsert *into* lake_dir, exactly-once.
 
     Returns per-partition commit summaries. Re-running with the same
     (or a prefix of the same) stream is a no-op per partition thanks to
     the manifest watermark check.
+
+    ``exchange`` picks how wide change rows travel from decode to apply:
+
+    - "staged" (default): decoders write part-bucketed parquet to a
+      staging dir (map-side exchange files); apply tasks read their
+      partition's files. The object store carries only tiny manifests —
+      on a multi-node cluster the staging dir is shared storage and the
+      exchange is embarrassingly parallel file I/O; on one node it
+      sidesteps the plasma all-to-all (measured: see BASELINE.md).
+    - "groupby": pure Dataset composition — the wide rows go through
+      Ray Data's sort shuffle via groupby("part").map_groups.
+      Both paths produce identical lakes (tests pin equality).
     """
     segments = read_segments(segment_paths)
-    changes = decode_typed(
-        segments,
-        target_table,
-        concurrency=concurrency,
-        min_ordinal=min_ordinal,
-        max_ordinal=max_ordinal,
-        dedup_keys=["repo", "path"],
-        num_partitions=num_partitions,
-    )
-    summaries = apply_changes(
-        changes,
-        lake_dir=lake_dir,
-        num_partitions=num_partitions,
-        write=True,
-        pre_partitioned=True,
-    )
-    rows = summaries.take_all()  # small: one row per partition
+    if exchange == "staged":
+        import shutil as _shutil
+
+        staging_dir = os.path.join(lake_dir, "_staging")
+        manifests = decode_typed(
+            segments,
+            target_table,
+            concurrency=concurrency,
+            min_ordinal=min_ordinal,
+            max_ordinal=max_ordinal,
+            dedup_keys=["repo", "path"],
+            num_partitions=num_partitions,
+            staging_dir=staging_dir,
+        )
+        # the (semantically required) barrier: every segment staged.
+        # The collected table is tiny — ≤ #segments × #partitions rows.
+        parts = sorted({r["part"] for r in manifests.take_all()})
+        from functools import partial as _partial
+
+        from ..stages.apply_arrow import apply_staged_parts
+
+        summaries = ray.data.from_items(
+            [{"part": p} for p in parts], override_num_blocks=max(1, len(parts))
+        ).map_batches(
+            _partial(
+                apply_staged_parts,
+                staging_dir=staging_dir,
+                lake_dir=lake_dir,
+                write=True,
+                final_columns=FINAL_COLUMNS,
+                final_types=REPOS_TYPED_TYPES,
+            ),
+            batch_format="pyarrow",
+        )
+        rows = summaries.take_all()  # small: one row per partition
+        _shutil.rmtree(staging_dir, ignore_errors=True)  # transient exchange files
+    else:
+        changes = decode_typed(
+            segments,
+            target_table,
+            concurrency=concurrency,
+            min_ordinal=min_ordinal,
+            max_ordinal=max_ordinal,
+            dedup_keys=["repo", "path"],
+            num_partitions=num_partitions,
+        )
+        summaries = apply_changes(
+            changes,
+            lake_dir=lake_dir,
+            num_partitions=num_partitions,
+            write=True,
+            pre_partitioned=True,
+        )
+        rows = summaries.take_all()  # small: one row per partition
     from ..logging_config import get_logger
 
     log = get_logger("pipeline")

@@ -1,0 +1,155 @@
+"""Live binlog tailer: replication stream → self-contained segment files.
+
+The deployment shape at scale: ONE lightweight tailer process per MySQL
+server speaks the replication protocol (sources.mysql_wire) and appends
+raw event frames into per-binlog-file segment files on (shared)
+storage; the Ray Data pipelines consume those segments in parallel
+(pipelines.ingest). This keeps the inherently serial part — a single
+TCP replication stream — out of the cluster, and makes the cluster's
+unit of work (a closed segment) idempotent and replayable.
+
+Mirrors the reference's reader loop state machine
+(src/binlog_reader.zig:149-305): checksum setup, fake-ROTATE stream
+start, real ROTATE file switch, stop-at-(file, position) condition.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+from ..kernel.constants import BINLOG_MAGIC, EventType
+from ..kernel.event_codec import parse_event_header, parse_rotate
+from .mysql_wire import MysqlConnection
+
+
+@dataclass
+class SegmentManifest:
+    segment: str
+    path: str
+    events: int = 0
+    bytes: int = 0
+
+
+@dataclass
+class BinlogTailer:
+    conn: MysqlConnection
+    out_dir: str
+    start_file: str
+    start_position: int = 4
+    stop_file: Optional[str] = None
+    stop_position: Optional[int] = None
+    server_id: int = 1
+    non_block: bool = True  # NON_BLOCK → server sends EOF at stream end
+    manifests: list[SegmentManifest] = field(default_factory=list)
+
+    # -- segment file lifecycle -------------------------------------
+
+    def _open_segment(self, name: str) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+        self._seg_name = name
+        self._seg_tmp = os.path.join(self.out_dir, f".{name}.tmp-{uuid.uuid4().hex}")
+        self._seg_file = open(self._seg_tmp, "wb")
+        self._seg_file.write(BINLOG_MAGIC)
+        self._seg_events = 0
+
+    def _close_segment(self) -> None:
+        if getattr(self, "_seg_file", None) is None:
+            return
+        self._seg_file.flush()
+        os.fsync(self._seg_file.fileno())
+        self._seg_file.close()
+        dest = os.path.join(self.out_dir, self._seg_name)
+        if self._seg_events > 0:
+            os.replace(self._seg_tmp, dest)  # atomic: readers only ever see closed segments
+            self.manifests.append(
+                SegmentManifest(
+                    segment=self._seg_name,
+                    path=dest,
+                    events=self._seg_events,
+                    bytes=os.path.getsize(dest),
+                )
+            )
+        else:
+            os.unlink(self._seg_tmp)
+        self._seg_file = None
+
+    # -- stream loop ------------------------------------------------
+
+    def run(self) -> list[SegmentManifest]:
+        conn = self.conn
+        if conn.io is None:
+            conn.connect()
+        # checksum negotiation, failure tolerated like the reference
+        # (src/binlog_reader.zig:108-111)
+        try:
+            conn.query("SET @master_binlog_checksum='CRC32'")
+        except Exception:
+            pass
+        conn.binlog_dump(
+            self.start_file, self.start_position, server_id=self.server_id, non_block=self.non_block
+        )
+        self._open_segment(self.start_file)
+        try:
+            for frame in conn.iter_event_frames():
+                event_type, timestamp, _sid, _size, log_pos, _flags = parse_event_header(frame)
+                if event_type == EventType.ROTATE_EVENT:
+                    next_file, _next_pos = parse_rotate(frame[19:-4])
+                    if timestamp == 0:
+                        # fake ROTATE at stream start: names the current
+                        # file, appears in no on-disk binlog
+                        if next_file != self._seg_name:
+                            self._close_segment()
+                            self._open_segment(next_file)
+                        continue
+                    # real rotation: the frame belongs to the closing file
+                    self._seg_file.write(frame)
+                    self._seg_events += 1
+                    self._close_segment()
+                    self._open_segment(next_file)
+                    continue
+                self._seg_file.write(frame)
+                self._seg_events += 1
+                if (
+                    self.stop_file is not None
+                    and self._seg_name >= self.stop_file
+                    and (self.stop_position is None or log_pos >= self.stop_position)
+                ):
+                    break
+        finally:
+            self._close_segment()
+        return self.manifests
+
+
+def tail_binlog_to_segments(
+    out_dir: str,
+    *,
+    host: str = "127.0.0.1",
+    port: int = 3306,
+    user: str = "root",
+    password: str = "",
+    use_tls: bool = False,
+    start_file: str = "binlog.000001",
+    start_position: int = 4,
+    stop_file: Optional[str] = None,
+    stop_position: Optional[int] = None,
+    server_id: int = 1,
+) -> list[SegmentManifest]:
+    """Connect, dump, tail into ``out_dir``; returns segment manifests.
+    The written segments feed ``pipelines.ingest.read_segments``."""
+    conn = MysqlConnection(host=host, port=port, user=user, password=password, use_tls=use_tls)
+    tailer = BinlogTailer(
+        conn=conn,
+        out_dir=out_dir,
+        start_file=start_file,
+        start_position=start_position,
+        stop_file=stop_file,
+        stop_position=stop_position,
+        server_id=server_id,
+    )
+    try:
+        return tailer.run()
+    finally:
+        conn.close()

@@ -1,0 +1,388 @@
+"""MySQL client/server wire protocol: framing, handshake, auth, binlog dump.
+
+Implements the public MySQL client/server protocol
+(https://dev.mysql.com/doc/dev/mysql-server/latest/PAGE_PROTOCOL.html)
+far enough to act as a replication client, with the same capability
+surface as the reference connector (reference: src/mysql/conn.zig:44-500,
+src/mysql/auth.zig, src/binlog_reader.zig:100-146):
+
+- packet framing (3-byte LE length + sequence id, 16 MB continuation)
+- HandshakeV10 parse / HandshakeResponse41 build
+- auth: mysql_native_password and caching_sha2_password (fast path),
+  AuthSwitchRequest handling; full caching_sha2 RSA exchange requires
+  TLS and is rejected with a clear error
+- optional TLS via SSLRequest + stdlib ssl wrap
+- COM_QUERY (OK or skipped result set), COM_BINLOG_DUMP
+- binlog event stream framing (0x00-prefixed packets; EOF / ERR)
+
+Pure stdlib (socket/ssl/hashlib/struct) — no driver dependency.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import socket
+import ssl as ssl_mod
+import struct
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+CLIENT_LONG_PASSWORD = 0x1
+CLIENT_LONG_FLAG = 0x4
+CLIENT_CONNECT_WITH_DB = 0x8
+CLIENT_PROTOCOL_41 = 0x200
+CLIENT_SSL = 0x800
+CLIENT_SECURE_CONNECTION = 0x8000
+CLIENT_PLUGIN_AUTH = 0x80000
+CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA = 0x200000
+
+COM_QUERY = 0x03
+COM_BINLOG_DUMP = 0x12
+BINLOG_DUMP_NON_BLOCK = 0x01
+
+MAX_PACKET = 0xFFFFFF
+
+
+class MysqlError(Exception):
+    """Server ERR packet or protocol violation."""
+
+    def __init__(self, code: int, message: str):
+        super().__init__(f"[{code}] {message}")
+        self.code = code
+        self.message = message
+
+
+# ------------------------------------------------------------- framing
+
+
+class PacketIO:
+    """Length-prefixed MySQL packet reader/writer over a socket."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self.seq = 0
+
+    def _read_exact(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("server closed connection mid-packet")
+            buf.extend(chunk)
+        return bytes(buf)
+
+    def read_packet(self) -> bytes:
+        """One logical packet (reassembles 16 MB continuations)."""
+        payload = bytearray()
+        while True:
+            header = self._read_exact(4)
+            length = header[0] | (header[1] << 8) | (header[2] << 16)
+            self.seq = (header[3] + 1) & 0xFF
+            payload.extend(self._read_exact(length))
+            if length < MAX_PACKET:
+                return bytes(payload)
+
+    def write_packet(self, payload: bytes, reset_seq: bool = False) -> None:
+        if reset_seq:
+            self.seq = 0
+        pos = 0
+        while True:
+            chunk = payload[pos : pos + MAX_PACKET]
+            header = struct.pack("<I", len(chunk))[:3] + bytes([self.seq])
+            self.seq = (self.seq + 1) & 0xFF
+            self.sock.sendall(header + chunk)
+            pos += len(chunk)
+            # a payload of exactly n*16MB needs a trailing empty packet
+            if pos >= len(payload) and len(chunk) < MAX_PACKET:
+                return
+
+
+def _nul_str(data: bytes, pos: int) -> tuple[bytes, int]:
+    end = data.index(0, pos)
+    return data[pos:end], end + 1
+
+
+# ------------------------------------------------------------ handshake
+
+
+@dataclass
+class Handshake:
+    protocol_version: int
+    server_version: str
+    thread_id: int
+    seed: bytes  # 20-byte auth plugin data
+    capabilities: int
+    charset: int
+    status: int
+    auth_plugin: str
+
+
+def parse_handshake_v10(payload: bytes) -> Handshake:
+    if payload and payload[0] == 0xFF:
+        code, msg = parse_err(payload)
+        raise MysqlError(code, msg)
+    proto = payload[0]
+    if proto != 10:
+        raise MysqlError(-1, f"unsupported handshake protocol {proto}")
+    server_version, pos = _nul_str(payload, 1)
+    thread_id = struct.unpack_from("<I", payload, pos)[0]
+    pos += 4
+    seed1 = payload[pos : pos + 8]
+    pos += 8 + 1  # filler
+    cap_lo = struct.unpack_from("<H", payload, pos)[0]
+    pos += 2
+    charset = payload[pos]
+    pos += 1
+    status = struct.unpack_from("<H", payload, pos)[0]
+    pos += 2
+    cap_hi = struct.unpack_from("<H", payload, pos)[0]
+    pos += 2
+    caps = cap_lo | (cap_hi << 16)
+    auth_len = payload[pos]
+    pos += 1 + 10  # reserved
+    seed2 = b""
+    if caps & CLIENT_SECURE_CONNECTION:
+        n2 = max(13, auth_len - 8)
+        seed2 = payload[pos : pos + n2].rstrip(b"\x00")
+        pos += n2
+    plugin = ""
+    if caps & CLIENT_PLUGIN_AUTH and pos < len(payload):
+        raw, pos = _nul_str(payload + b"\x00", pos)
+        plugin = raw.decode()
+    return Handshake(
+        protocol_version=proto,
+        server_version=server_version.decode(),
+        thread_id=thread_id,
+        seed=(seed1 + seed2)[:20],
+        capabilities=caps,
+        charset=charset,
+        status=status,
+        auth_plugin=plugin or "mysql_native_password",
+    )
+
+
+# ----------------------------------------------------------------- auth
+
+
+def scramble_native_password(password: str, seed: bytes) -> bytes:
+    """mysql_native_password: SHA1(pwd) XOR SHA1(seed + SHA1(SHA1(pwd)))
+    (reference: src/mysql/auth.zig scramblePassword)."""
+    if not password:
+        return b""
+    h1 = hashlib.sha1(password.encode()).digest()
+    h2 = hashlib.sha1(h1).digest()
+    h3 = hashlib.sha1(seed + h2).digest()
+    return bytes(a ^ b for a, b in zip(h1, h3))
+
+
+def scramble_caching_sha2(password: str, seed: bytes) -> bytes:
+    """caching_sha2_password fast path:
+    XOR(SHA256(pwd), SHA256(SHA256(SHA256(pwd)) + seed))."""
+    if not password:
+        return b""
+    h1 = hashlib.sha256(password.encode()).digest()
+    h2 = hashlib.sha256(h1).digest()
+    h3 = hashlib.sha256(h2 + seed).digest()
+    return bytes(a ^ b for a, b in zip(h1, h3))
+
+
+def compute_auth_response(plugin: str, password: str, seed: bytes) -> bytes:
+    if plugin == "mysql_native_password":
+        return scramble_native_password(password, seed)
+    if plugin == "caching_sha2_password":
+        return scramble_caching_sha2(password, seed)
+    raise MysqlError(-1, f"unsupported auth plugin {plugin!r}")
+
+
+def build_handshake_response(
+    caps: int,
+    username: str,
+    auth_response: bytes,
+    database: Optional[str],
+    plugin: str,
+    charset: int = 45,  # utf8mb4_general_ci
+) -> bytes:
+    out = bytearray()
+    out += struct.pack("<IIB", caps, 1 << 24, charset)
+    out += b"\x00" * 23
+    out += username.encode() + b"\x00"
+    if caps & CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA:
+        out += bytes([len(auth_response)]) + auth_response  # lenc (<251)
+    else:
+        out += bytes([len(auth_response)]) + auth_response
+    if caps & CLIENT_CONNECT_WITH_DB and database:
+        out += database.encode() + b"\x00"
+    if caps & CLIENT_PLUGIN_AUTH:
+        out += plugin.encode() + b"\x00"
+    return bytes(out)
+
+
+def parse_err(payload: bytes) -> tuple[int, str]:
+    code = struct.unpack_from("<H", payload, 1)[0]
+    msg = payload[3:]
+    if msg[:1] == b"#":  # SQL-state marker
+        msg = msg[6:]
+    return code, msg.decode("utf-8", "replace")
+
+
+def is_ok(payload: bytes) -> bool:
+    return bool(payload) and payload[0] == 0x00
+
+
+def is_eof(payload: bytes) -> bool:
+    return bool(payload) and payload[0] == 0xFE and len(payload) < 9
+
+
+# ----------------------------------------------------------- connection
+
+
+class MysqlConnection:
+    """Minimal replication-grade client connection.
+
+    ``connect()`` performs handshake + auth (+ optional TLS). Then
+    ``query()`` for session setup and ``binlog_dump()`` to switch the
+    connection into an event stream consumed via ``iter_event_frames``.
+    """
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 3306,
+        user: str = "root",
+        password: str = "",
+        database: Optional[str] = None,
+        use_tls: bool = False,
+        connect_timeout: float = 10.0,
+    ):
+        self.host = host
+        self.port = port
+        self.user = user
+        self.password = password
+        self.database = database
+        self.use_tls = use_tls
+        self.connect_timeout = connect_timeout
+        self.io: Optional[PacketIO] = None
+        self.handshake: Optional[Handshake] = None
+
+    # -- lifecycle --------------------------------------------------
+
+    def connect(self) -> "MysqlConnection":
+        sock = socket.create_connection((self.host, self.port), timeout=self.connect_timeout)
+        sock.settimeout(self.connect_timeout)
+        self.io = PacketIO(sock)
+        hs = parse_handshake_v10(self.io.read_packet())
+        self.handshake = hs
+
+        caps = (
+            CLIENT_LONG_PASSWORD
+            | CLIENT_LONG_FLAG
+            | CLIENT_PROTOCOL_41
+            | CLIENT_SECURE_CONNECTION
+            | CLIENT_PLUGIN_AUTH
+        )
+        if self.database:
+            caps |= CLIENT_CONNECT_WITH_DB
+        caps &= hs.capabilities | CLIENT_CONNECT_WITH_DB
+
+        if self.use_tls:
+            if not hs.capabilities & CLIENT_SSL:
+                raise MysqlError(-1, "server does not support TLS")
+            caps |= CLIENT_SSL
+            ssl_req = struct.pack("<IIB", caps, 1 << 24, 45) + b"\x00" * 23
+            self.io.write_packet(ssl_req)
+            ctx = ssl_mod.create_default_context()
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl_mod.CERT_NONE  # parity: reference skips CA verify by default
+            self.io.sock = ctx.wrap_socket(sock, server_hostname=self.host)
+
+        plugin = hs.auth_plugin
+        auth = compute_auth_response(plugin, self.password, hs.seed)
+        self.io.write_packet(
+            build_handshake_response(caps, self.user, auth, self.database, plugin)
+        )
+        self._finish_auth(plugin)
+        return self
+
+    def _finish_auth(self, plugin: str) -> None:
+        assert self.io is not None
+        while True:
+            payload = self.io.read_packet()
+            if is_ok(payload):
+                return
+            if payload and payload[0] == 0xFF:
+                code, msg = parse_err(payload)
+                raise MysqlError(code, msg)
+            if payload and payload[0] == 0xFE:  # AuthSwitchRequest
+                name, pos = _nul_str(payload, 1)
+                seed = payload[pos:].rstrip(b"\x00")[:20]
+                plugin = name.decode()
+                self.io.write_packet(compute_auth_response(plugin, self.password, seed))
+                continue
+            if payload and payload[0] == 0x01:  # caching_sha2 extra data
+                if payload[1:2] == b"\x03":  # fast auth success → OK follows
+                    continue
+                raise MysqlError(
+                    -1,
+                    "caching_sha2_password full authentication requires TLS "
+                    "(connect with use_tls=True) or a cached server entry",
+                )
+            raise MysqlError(-1, f"unexpected auth packet 0x{payload[:1].hex()}")
+
+    def close(self) -> None:
+        if self.io is not None:
+            try:
+                self.io.sock.close()
+            finally:
+                self.io = None
+
+    # -- commands ---------------------------------------------------
+
+    def query(self, sql: str) -> None:
+        """Execute a statement; OK expected (result sets are drained and
+        discarded — only session-setup statements are needed here)."""
+        assert self.io is not None, "not connected"
+        self.io.write_packet(bytes([COM_QUERY]) + sql.encode(), reset_seq=True)
+        payload = self.io.read_packet()
+        if is_ok(payload):
+            return
+        if payload and payload[0] == 0xFF:
+            code, msg = parse_err(payload)
+            raise MysqlError(code, msg)
+        # result set: drain column definitions + rows until EOF twice
+        eofs = 0
+        while eofs < 2:
+            p = self.io.read_packet()
+            if is_eof(p) or (p and p[0] == 0xFF):
+                eofs += 1
+
+    def binlog_dump(
+        self, binlog_file: str, binlog_position: int, server_id: int = 1, non_block: bool = False
+    ) -> None:
+        """COM_BINLOG_DUMP (reference: src/binlog_reader.zig:114-146)."""
+        assert self.io is not None, "not connected"
+        flags = BINLOG_DUMP_NON_BLOCK if non_block else 0
+        payload = (
+            bytes([COM_BINLOG_DUMP])
+            + struct.pack("<IHI", binlog_position, flags, server_id)
+            + binlog_file.encode()
+        )
+        self.io.write_packet(payload, reset_seq=True)
+
+    def iter_event_frames(self) -> Iterator[bytes]:
+        """Raw binlog event frames (19-byte header + payload + CRC) from
+        the post-dump stream; stops at EOF, raises on ERR."""
+        assert self.io is not None, "not connected"
+        while True:
+            payload = self.io.read_packet()
+            if not payload:
+                return
+            marker = payload[0]
+            if marker == 0x00:
+                yield payload[1:]
+            elif marker == 0xFF:
+                code, msg = parse_err(payload)
+                raise MysqlError(code, msg)
+            elif is_eof(payload):
+                return
+            else:
+                raise MysqlError(-1, f"unexpected stream packet 0x{marker:02x}")

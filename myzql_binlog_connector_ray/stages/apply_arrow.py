@@ -156,6 +156,60 @@ class ApplyPartitionArrow:
         return self._summary(part, manifest["rows"], manifest["watermark"], False)
 
 
+class ApplyStagedPartition:
+    """Reduce side of the staged exchange: one call per batch of
+    partition ids; reads that partition's staged change files from the
+    shared staging dir and runs the identical Arrow LWW fold + atomic
+    manifest commit as the groupby path (equality pinned by tests).
+
+    Input rows: {"part": int32}. Output: one summary row per part.
+    """
+
+    def __init__(
+        self,
+        staging_dir: str,
+        lake_dir: Optional[str] = None,
+        write: bool = False,
+        final_columns: Optional[list[str]] = None,
+        final_types: Optional[dict] = None,
+    ):
+        self.staging_dir = staging_dir
+        self.inner = ApplyPartitionArrow(
+            lake_dir=lake_dir, write=write, final_columns=final_columns, final_types=final_types
+        )
+
+    def _read_staged(self, part: int) -> Optional[pa.Table]:
+        import glob
+        import os
+
+        import pyarrow.feather as feather
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(self.staging_dir, f"part={part}", "*.ipc"))) + sorted(
+            glob.glob(os.path.join(self.staging_dir, f"part={part}", "*.parquet"))
+        )
+        if not files:
+            return None
+        return pa.concat_tables(
+            [
+                feather.read_table(f, memory_map=True) if f.endswith(".ipc") else pq.read_table(f)
+                for f in files
+            ],
+            promote_options="permissive",
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for part in batch["part"].to_pylist():
+            changes = self._read_staged(int(part))
+            if changes is None or changes.num_rows == 0:
+                continue
+            outs.append(self.inner(changes))
+        if not outs:
+            return self.inner._summary(-1, 0, -1, True).slice(0, 0)
+        return pa.concat_tables(outs, promote_options="permissive")
+
+
 def apply_partition_group_arrow(
     group: pa.Table,
     lake_dir: Optional[str] = None,
@@ -166,3 +220,22 @@ def apply_partition_group_arrow(
     return ApplyPartitionArrow(
         lake_dir=lake_dir, write=write, final_columns=final_columns, final_types=final_types
     )(group)
+
+
+def apply_staged_parts(
+    batch: pa.Table,
+    staging_dir: str = "",
+    lake_dir: Optional[str] = None,
+    write: bool = False,
+    final_columns: Optional[list[str]] = None,
+    final_types: Optional[dict] = None,
+) -> pa.Table:
+    """Function form for stateless-task scheduling (construction is a
+    couple of attribute assignments; tasks interleave with decode)."""
+    return ApplyStagedPartition(
+        staging_dir,
+        lake_dir=lake_dir,
+        write=write,
+        final_columns=final_columns,
+        final_types=final_types,
+    )(batch)

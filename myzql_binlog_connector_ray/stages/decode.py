@@ -117,6 +117,8 @@ class SegmentDecoder:
         to_file: Optional[str] = None,
         to_position: Optional[int] = None,
         envelope_out_dir: Optional[str] = None,
+        staging_dir: Optional[str] = None,
+        staging_format: str = "ipc",
     ):
         assert mode in ("envelope", "typed")
         self.mode = mode
@@ -145,6 +147,19 @@ class SegmentDecoder:
         # file-per-binlog sink (reference rotation policy: one parquet
         # file per binlog file, overwrite-idempotent; src/pipeline.zig:470-479)
         self.envelope_out_dir = envelope_out_dir
+        # typed-mode staged exchange: instead of returning wide change
+        # rows into the object store for a sort shuffle, write them
+        # part-bucketed to ``staging_dir/part=P/<segments>.parquet``
+        # (atomic rename, overwrite-idempotent → resumable) and return
+        # only tiny manifest rows. This is the map side of a filesystem
+        # exchange — on a multi-node cluster the staging dir is shared
+        # storage and the exchange is network-parallel file I/O, not an
+        # object-store all-to-all.
+        self.staging_dir = staging_dir
+        # "ipc" (Arrow feather, near-zero encode/decode cost — right for
+        # a node-local or fast shared FS) or "parquet" (lz4; smaller
+        # bytes — right when the staging dir is remote object storage)
+        self.staging_format = staging_format
         # per-actor metrics (reference: src/metrics.zig:25-46)
         self.metrics = {"events": 0, "rows": 0, "filtered_tables": 0, "segments": 0}
         # compiled row decoders, cached per column layout (survives the
@@ -347,7 +362,60 @@ class SegmentDecoder:
             from .apply import add_partition
 
             table = add_partition(table, self.num_partitions)
+        if self.staging_dir is not None:
+            return self._write_staged(table, names)
         return table
+
+    def _write_staged(self, table: pa.Table, names) -> pa.Table:
+        """Map side of the staged exchange: split this batch's rows by
+        ``part`` and write one parquet per partition bucket. File name
+        derives from the batch's segment names, so re-running the same
+        segment overwrites its own files (idempotent / resumable)."""
+        import hashlib as _hashlib
+        import os
+        import uuid
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        tag = _hashlib.blake2b(
+            "\x00".join(sorted(os.path.basename(n) for n in names)).encode(), digest_size=8
+        ).hexdigest()
+        part_np = table["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(part_np, kind="stable")
+        sorted_parts = part_np[order]
+        bounds = np.flatnonzero(np.diff(sorted_parts)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sorted_parts)]))
+        ordered = table.take(pa.array(order)) if len(order) else table
+        out = {"part": [], "rows": [], "path": []}
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if s == e:
+                continue
+            p = int(sorted_parts[s])
+            pdir = os.path.join(self.staging_dir, f"part={p}")
+            os.makedirs(pdir, exist_ok=True)
+            dest = os.path.join(pdir, f"{tag}.{self.staging_format}")
+            tmp = dest + f".tmp-{uuid.uuid4().hex}"
+            # the staging round-trip must not cost more than the shuffle
+            # it replaces: IPC ≈ memcpy; parquet uses cheap lz4
+            if self.staging_format == "ipc":
+                import pyarrow.feather as feather
+
+                feather.write_feather(ordered.slice(s, e - s), tmp, compression="uncompressed")
+            else:
+                pq.write_table(ordered.slice(s, e - s), tmp, compression="lz4")
+            os.replace(tmp, dest)
+            out["part"].append(p)
+            out["rows"].append(e - s)
+            out["path"].append(dest)
+        return pa.table(
+            {
+                "part": pa.array(out["part"], pa.int32()),
+                "rows": pa.array(out["rows"], pa.int64()),
+                "path": pa.array(out["path"], pa.string()),
+            }
+        )
 
     def _typed_collect_all(self, names, blobs, col_names, ncols):
         seg_l: list = []

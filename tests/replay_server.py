@@ -1,0 +1,168 @@
+"""In-process MySQL replication replay server (test double).
+
+Speaks just enough of the server side of the wire protocol to exercise
+the client end-to-end over a real localhost socket: HandshakeV10,
+native-password auth verification, OK/ERR, COM_QUERY, COM_BINLOG_DUMP,
+and the 0x00-prefixed event stream — replaying events from on-disk
+segment files (the same fixtures the file pipelines consume), with a
+fake ROTATE at stream start and the segments' own real ROTATEs in
+between, then an EOF packet.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import threading
+import zlib
+
+from myzql_binlog_connector_ray.kernel.constants import BINLOG_MAGIC, EventType
+from myzql_binlog_connector_ray.kernel.event_codec import parse_event_header
+from myzql_binlog_connector_ray.sources.mysql_wire import (
+    CLIENT_LONG_PASSWORD,
+    CLIENT_PLUGIN_AUTH,
+    CLIENT_PROTOCOL_41,
+    CLIENT_SECURE_CONNECTION,
+    COM_BINLOG_DUMP,
+    COM_QUERY,
+    PacketIO,
+    scramble_native_password,
+)
+
+SEED = bytes(range(1, 21))  # fixed 20-byte scramble seed
+OK = b"\x00\x00\x00\x02\x00\x00\x00"
+EOF = b"\xfe\x00\x00\x02\x00"
+
+
+def _err(code: int, msg: str) -> bytes:
+    return b"\xff" + struct.pack("<H", code) + b"#HY000" + msg.encode()
+
+
+def iter_raw_frames(segment_bytes: bytes):
+    """Raw event frames (header+payload+CRC) from a segment file."""
+    pos = 4 if segment_bytes[:4] == BINLOG_MAGIC else 0
+    n = len(segment_bytes)
+    while pos + 19 <= n:
+        _t, _ts, _sid, size, _lp, _fl = parse_event_header(segment_bytes, pos)
+        if size < 19 or pos + size > n:
+            break
+        yield segment_bytes[pos : pos + size]
+        pos += size
+
+
+def fake_rotate_frame(binlog_file: str, position: int = 4) -> bytes:
+    """ROTATE with timestamp=0 — the stream-start marker MySQL sends."""
+    payload = struct.pack("<Q", position) + binlog_file.encode()
+    size = 19 + len(payload) + 4
+    header = struct.pack("<IBIIIH", 0, EventType.ROTATE_EVENT, 1, size, 0, 0x20)
+    body = header + payload
+    return body + struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF)
+
+
+class ReplayServer:
+    """Serves segment files from ``segment_dir`` to one client at a time."""
+
+    def __init__(self, segment_dir: str, user: str = "repl", password: str = "secret"):
+        self.segment_dir = segment_dir
+        self.user = user
+        self.password = password
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(2)
+        self.port = self.sock.getsockname()[1]
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.errors: list[str] = []
+
+    def __enter__(self):
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.sock.close()
+        self.thread.join(timeout=5)
+
+    # -- protocol ---------------------------------------------------
+
+    def _handshake_v10(self) -> bytes:
+        caps = (
+            CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+        )
+        return (
+            bytes([10])
+            + b"8.0.0-replay\x00"
+            + struct.pack("<I", 7)  # thread id
+            + SEED[:8]
+            + b"\x00"
+            + struct.pack("<H", caps & 0xFFFF)
+            + bytes([45])  # charset
+            + struct.pack("<H", 2)  # status
+            + struct.pack("<H", caps >> 16)
+            + bytes([21])  # auth data len
+            + b"\x00" * 10
+            + SEED[8:]
+            + b"\x00"
+            + b"mysql_native_password\x00"
+        )
+
+    def _check_auth(self, payload: bytes) -> bool:
+        pos = 32  # caps(4) + max_packet(4) + charset(1) + 23 reserved
+        end = payload.index(0, pos)
+        username = payload[pos:end].decode()
+        pos = end + 1
+        alen = payload[pos]
+        auth = payload[pos + 1 : pos + 1 + alen]
+        want = scramble_native_password(self.password, SEED)
+        return username == self.user and auth == want
+
+    def _serve(self) -> None:
+        try:
+            while True:
+                try:
+                    conn, _ = self.sock.accept()
+                except OSError:
+                    return  # listener closed
+                try:
+                    self._serve_one(conn)
+                finally:
+                    conn.close()
+        except Exception as e:  # surfaced by the test via self.errors
+            self.errors.append(repr(e))
+
+    def _serve_one(self, conn: socket.socket) -> None:
+        io = PacketIO(conn)
+        io.write_packet(self._handshake_v10())
+        resp = io.read_packet()
+        if not self._check_auth(resp):
+            io.write_packet(_err(1045, "Access denied"))
+            return
+        io.write_packet(OK)
+        while True:
+            try:
+                cmd = io.read_packet()
+            except ConnectionError:
+                return
+            if not cmd:
+                return
+            if cmd[0] == COM_QUERY:
+                io.write_packet(OK)
+            elif cmd[0] == COM_BINLOG_DUMP:
+                _pos, _flags, _sid = struct.unpack_from("<IHI", cmd, 1)
+                start_file = cmd[11:].decode()
+                self._stream_binlogs(io, start_file)
+                return
+            else:
+                io.write_packet(_err(1047, f"unknown command {cmd[0]}"))
+
+    def _stream_binlogs(self, io: PacketIO, start_file: str) -> None:
+        files = sorted(
+            f for f in os.listdir(self.segment_dir) if f.startswith("binlog.") and f >= start_file
+        )
+        io.write_packet(b"\x00" + fake_rotate_frame(start_file))
+        for name in files:
+            with open(os.path.join(self.segment_dir, name), "rb") as f:
+                blob = f.read()
+            for frame in iter_raw_frames(blob):
+                io.write_packet(b"\x00" + frame)
+        io.write_packet(EOF)

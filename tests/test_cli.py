@@ -59,6 +59,31 @@ def test_cli_apply_mode(cli_env):
     assert glob.glob(os.path.join(lake, "_manifests", "*.json"))
 
 
+def test_cli_tail_mode(fixture_paths, tmp_path):
+    """tail mode: live replication stream → segment files (in-process
+    replay server; runs the CLI main() in-process since the server
+    lives in this process)."""
+    from myzql_binlog_connector_ray.cli import main
+    from replay_server import ReplayServer
+
+    out = tmp_path / "tailed"
+    with ReplayServer(fixture_paths["segments_dir"]) as srv:
+        cfg = {
+            "segments_dir": str(out),
+            "host": "127.0.0.1",
+            "port": srv.port,
+            "user": "repl",
+            "password": "secret",
+            "from_binlog_file": "binlog.000001",
+        }
+        cfg_path = tmp_path / "tail.json"
+        cfg_path.write_text(json.dumps(cfg))
+        assert main(["tail", str(cfg_path)]) == 0
+    assert srv.errors == []
+    originals = {os.path.basename(p) for p in fixture_paths["segment_paths"]}
+    assert originals <= set(os.listdir(out))
+
+
 def test_cli_rejects_bad_config(tmp_path):
     bad = tmp_path / "bad.json"
     bad.write_text(json.dumps({"segments_dir": "/nonexistent", "from_binlog_position": 1}))

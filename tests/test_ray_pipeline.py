@@ -148,6 +148,34 @@ def test_transactional_ingest_and_exactly_once(ray_session, fixture_paths, lake,
     )
 
 
+def test_staged_exchange_matches_groupby(ray_session, fixture_paths, tmp_path, sf_dir):
+    """Both exchange implementations must commit identical lakes."""
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(fixture_paths["base_lake"])
+    lakes = {}
+    for exchange in ("staged", "groupby"):
+        lake_dir = str(tmp_path / f"lake_{exchange}")
+        init_lake(base, lake_dir, N_PARTS)
+        summaries = run_ingest(
+            fixture_paths["segment_paths"],
+            lake_dir,
+            num_partitions=N_PARTS,
+            concurrency=2,
+            exchange=exchange,
+        )
+        assert all(not s["skipped"] for s in summaries)
+        lakes[exchange] = (
+            read_lake(lake_dir).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        )
+        # staging files are transient: removed after a successful run
+        assert not os.path.exists(os.path.join(lake_dir, "_staging"))
+    pd.testing.assert_frame_equal(
+        lakes["staged"][sorted(lakes["staged"].columns)],
+        lakes["groupby"][sorted(lakes["groupby"].columns)],
+    )
+
+
 def test_checkpoint_resume_mid_stream(ray_session, fixture_paths, lake, sf_dir):
     paths = fixture_paths["segment_paths"]
     # first run: only the first two segments (simulated interruption)

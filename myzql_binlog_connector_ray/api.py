@@ -38,6 +38,7 @@ from .functions.text import LanguageId, QualityScorer, add_fingerprint, token_co
 from .pipelines.ingest import (
     FINAL_COLUMNS,
     apply_changes,
+    auto_concurrency,
     decode_envelope,
     decode_typed,
     init_lake,
@@ -120,6 +121,22 @@ def envelope_counters_inserts(sf_dir: str, *, concurrency=None):
 # --------------------------------------------------------------------------
 
 
+
+def _task_stage(cls, **kwargs):
+    """Stateless-task form of a callable-class stage: construct per
+    batch on warm pooled workers. Right when the per-actor state is
+    trivial to rebuild (hash constants, tiny caches) — tasks interleave
+    with upstream reads and skip actor-pool ramp-up, measured ~2x on
+    small/medium inputs. Heavy-state stages (media decoders, models)
+    stay actor pools."""
+
+    def fn(batch):
+        return cls(**kwargs)(batch)
+
+    fn.__name__ = cls.__name__
+    return fn
+
+
 def _docs_ds(sf_dir: str, columns=None):
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
@@ -153,9 +170,9 @@ def token_count_by_lang(sf_dir: str):
     )
 
 
-def quality_stats_by_source(sf_dir: str, *, concurrency=(1, 2)):
+def quality_stats_by_source(sf_dir: str, *, concurrency=None):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text", "source"])
-    ds = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=concurrency)
+    ds = ds.map_batches(_task_stage(QualityScorer), batch_format="pyarrow")
     return ds.groupby("source").aggregate(
         Count(alias_name="n_docs"),
         Sum("q_chars", alias_name="total_chars"),
@@ -230,65 +247,55 @@ def _dup_corpus(sf_dir: str):
     return ds.union(near)
 
 
-def _minhash_pairs(corpus, concurrency, max_bucket_ids: int = 4096):
+def _minhash_pairs(corpus, concurrency=None, max_bucket_ids: int = 4096):
     """Banded-LSH candidate pairs, deduped inside the Dataset (no driver
     collect of the pair set).
 
-    The common case — a band bucket holding exactly 2 docs — is handled
-    entirely by a vectorized ``aggregate(Count, Min, Max)``: the pair IS
-    (min, max). Only buckets with ≥3 members (rare: real dup clusters
-    or 60-bit band-hash collisions) go through the per-group pair
-    expansion, and those degrade to star pairs past ``max_bucket_ids``
-    (never hit at fixture scale, so the all-pairs oracle SQL matches).
-    Round 1 ran map_groups over every bucket — ~16k tiny pandas groups
-    dominated the wall time."""
-    from ray.data.aggregate import Max, Min
+    Exactly TWO shuffles, no mid-pipeline materialization:
+      1. ``groupby(band, band_hash).aggregate(Unique(doc_id))`` buckets
+         docs per LSH key and carries each bucket's id list;
+      2. a vectorized expansion emits the bucket's pairs (size-2 — the
+         common case — is (min, max); ≥3 is all-pairs, degrading to
+         star pairs via the bucket's min-id representative past
+         ``max_bucket_ids`` so a degenerate bucket emits O(n), not
+         O(n²)); then ``groupby(a, b)`` dedups pairs across bands.
+    Round 1 ran map_groups over every bucket (~16k tiny pandas groups);
+    round 2's first cut used 4 barriers + a driver collect of hot keys —
+    both dominated by fixed per-stage latency at small scale."""
+    from ray.data.aggregate import Unique
 
-    bands = corpus.map_batches(MinHasher, batch_format="pyarrow", concurrency=concurrency)
-    agg = bands.groupby(["band", "band_hash"]).aggregate(
-        Count(alias_name="n"),
-        Min("doc_id", alias_name="a"),
-        Max("doc_id", alias_name="b"),
-    ).materialize()  # small: ≤ num_bands rows per doc; read twice below
-
-    pairs2 = agg.map_batches(
-        lambda t: t.filter(pa.compute.equal(t["n"], 2)).select(["a", "b"]),
-        batch_format="pyarrow",
+    bands = corpus.map_batches(_task_stage(MinHasher), batch_format="pyarrow")
+    buckets = bands.groupby(["band", "band_hash"]).aggregate(
+        Unique("doc_id", alias_name="ids")
     )
-    hot_keys = agg.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["n"], 2)).select(["band", "band_hash"]),
-        batch_format="pyarrow",
-    ).take_all()  # bounded by #hot dup clusters, not #docs
-    pairs = pairs2
-    if hot_keys:
-        keyset = {(r["band"], r["band_hash"]) for r in hot_keys}
-        keys_ref = ray.put(keyset)
 
-        def in_hot(t: pa.Table) -> pa.Table:
-            ks = ray.get(keys_ref)
-            mask = [
-                (b, h) in ks
-                for b, h in zip(t["band"].to_pylist(), t["band_hash"].to_pylist())
-            ]
-            return t.filter(pa.array(mask, pa.bool_()))
+    def expand_pairs(t: pa.Table) -> pa.Table:
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for ids in t["ids"].to_pylist():
+            if len(ids) < 2:
+                continue
+            ids = sorted(ids)
+            if len(ids) == 2:
+                a_out.append(ids[0])
+                b_out.append(ids[1])
+            elif len(ids) > max_bucket_ids:
+                rep = ids[0]
+                a_out.extend([rep] * (len(ids) - 1))
+                b_out.extend(ids[1:])
+            else:
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+        return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
 
-        def hot_group_pairs(g: pa.Table) -> pa.Table:
-            df = band_bucket_pairs(g.to_pandas(), max_ids=max_bucket_ids)
-            return pa.table(
-                {"a": pa.array(df["a"], pa.int64()), "b": pa.array(df["b"], pa.int64())}
-            )
-
-        hot_pairs = (
-            bands.map_batches(in_hot, batch_format="pyarrow")
-            .groupby(["band", "band_hash"])
-            .map_groups(hot_group_pairs, batch_format="pyarrow")
-        )
-        pairs = pairs2.union(hot_pairs)
+    pairs = buckets.map_batches(expand_pairs, batch_format="pyarrow")
     deduped = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_nbands"))
     return deduped.select_columns(["a", "b"])
 
 
-def minhash_dup_candidates(sf_dir: str, *, concurrency=(1, 2)):
+def minhash_dup_candidates(sf_dir: str, *, concurrency=None):
     """MinHash-LSH near-dup candidates over documents ∪ near-identical
     copy. SQL-checked: the md5/polynomial minhash spec (functions/dedup)
     is recomputed exactly by the DuckDB oracle."""
@@ -298,13 +305,13 @@ def minhash_dup_candidates(sf_dir: str, *, concurrency=(1, 2)):
 def simhash_fingerprints(sf_dir: str):
     """60-bit SimHash per doc (SQL-checked against the md5 word-hash spec)."""
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
-    fp = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 2))
+    fp = ds.map_batches(_task_stage(SimHasher), batch_format="pyarrow")
     return fp.select_columns(["doc_id", "simhash"])
 
 
-def language_id_predictions(sf_dir: str, *, concurrency=(1, 2)):
+def language_id_predictions(sf_dir: str, *, concurrency=None):
     ds = _docs_ds(sf_dir, ["doc_id", "text", "lang"])
-    ds = ds.map_batches(LanguageId, batch_format="pyarrow", concurrency=concurrency)
+    ds = ds.map_batches(_task_stage(LanguageId), batch_format="pyarrow")
     return ds.select_columns(["doc_id", "lang", "lang_pred"])
 
 
@@ -691,23 +698,101 @@ def embedding_near_dup_pairs(sf_dir: str, *, bits: int = 10, threshold: float = 
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
 
 
-def minhash_dup_verified(sf_dir: str, *, threshold: float = 0.5, concurrency=(1, 2), num_partitions: int = 8):
+def minhash_dup_verified(
+    sf_dir: str,
+    *,
+    threshold: float = 0.5,
+    concurrency=None,
+    num_partitions: int = 8,
+    strategy: str = "broadcast",
+):
     """MinHash-LSH candidates verified with exact n-gram Jaccard — fully
-    distributed: per-doc distinct gram-hash sets are computed once in a
-    map_batches pass, candidate pairs hash-join back to the two gram
-    sets (ships small int lists, never text), and the Jaccard kernel
-    runs inside map_batches. No driver-side text map or pair loop
-    (round 1 verified pairs serially on the driver)."""
-    from .functions.relational import bucket_lookup_join
+    distributed; no driver-side text map or per-pair loop (round 1
+    verified pairs serially on the driver).
 
+    ``strategy``:
+    - "broadcast" (default): candidate pairs are the SMALL side by
+      construction (bounded by dup clusters, not corpus size) — they
+      broadcast once via ``ray.put``; the per-doc gram sets stream
+      through a tagging ``map_batches`` (no shuffle) and ONE
+      ``groupby(pair)`` custom aggregate reunites the two members and
+      computes Jaccard inside the reduce. Text never crosses the
+      exchange; only candidate members' gram sets do.
+    - "bucket_join": fully shuffle-based fallback for the regime where
+      even the candidate set is too big to broadcast — two bucketed
+      hash joins (functions.relational.bucket_lookup_join) attach the
+      gram sets; Jaccard runs in map_batches.
+    """
     corpus = _dup_corpus(sf_dir)
-    # materialize the two small derived tables (pairs ≈ #dup clusters,
-    # gram sets ≈ 50 ints/doc) so the join executions run sequentially —
-    # a fully lazy DAG would re-derive the corpus per consumer and stack
-    # three actor pools at once (deadlocks a 4-CPU cluster); at 100 TB
-    # these would be parquet checkpoint writes instead.
     pairs = _minhash_pairs(corpus, concurrency).materialize()
-    gsets = corpus.map_batches(GramSetter, batch_format="pyarrow", concurrency=concurrency).materialize()
+    gsets = corpus.map_batches(_task_stage(GramSetter), batch_format="pyarrow")
+    if strategy == "bucket_join":
+        return _verified_bucket_join(pairs, gsets.materialize(), threshold, num_partitions)
+
+    prows = pairs.take_all()  # small: the candidate pairs themselves
+    if not prows:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())}
+        )
+    a_ids = [r["a"] for r in prows]
+    b_ids = [r["b"] for r in prows]
+    memb: dict[int, list[tuple[int, int]]] = {}
+    for i, (a, b) in enumerate(zip(a_ids, b_ids)):
+        memb.setdefault(a, []).append((i, 0))
+        memb.setdefault(b, []).append((i, 1))
+    memb_ref = ray.put(memb)
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = ray.get(memb_ref)
+        pair_out: list[int] = []
+        role_out: list[int] = []
+        set_out: list[list[int]] = []
+        for did, gs in zip(t["doc_id"].to_pylist(), t["gram_set"].to_pylist()):
+            for pi, role in m.get(did, ()):
+                pair_out.append(pi)
+                role_out.append(role)
+                set_out.append(gs)
+        return pa.table(
+            {
+                "pair": pa.array(pair_out, pa.int64()),
+                "role": pa.array(role_out, pa.int32()),
+                "gram_set": pa.array(set_out, pa.list_(pa.int64())),
+            }
+        )
+
+    from ray.data.aggregate import AggregateFn
+
+    jac_agg = AggregateFn(
+        init=lambda k: [],
+        accumulate_row=lambda acc, row: acc + [(row["role"], list(row["gram_set"]))],
+        merge=lambda l, r: l + r,
+        finalize=lambda acc: (
+            jaccard_from_sets(acc[0][1], acc[1][1]) if len(acc) == 2 else -1.0
+        ),
+        name="jaccard",
+    )
+    jac = gsets.map_batches(tag, batch_format="pyarrow").groupby("pair").aggregate(jac_agg)
+
+    a_arr, b_arr = a_ids, b_ids
+
+    def finish(t: pa.Table) -> pa.Table:
+        pis = t["pair"].to_pylist()
+        js = t["jaccard"].to_pylist()
+        keep = [i for i, j in enumerate(js) if j >= threshold]
+        return pa.table(
+            {
+                "a": pa.array([a_arr[pis[i]] for i in keep], pa.int64()),
+                "b": pa.array([b_arr[pis[i]] for i in keep], pa.int64()),
+                "jaccard": pa.array([round(js[i], 6) for i in keep], pa.float64()),
+            }
+        )
+
+    return jac.map_batches(finish, batch_format="pyarrow")
+
+
+def _verified_bucket_join(pairs, gsets, threshold: float, num_partitions: int):
+    """Shuffle-only verify path (see minhash_dup_verified docstring)."""
+    from .functions.relational import bucket_lookup_join
 
     ltype = pa.list_(pa.int64())
     j1 = bucket_lookup_join(

@@ -207,3 +207,46 @@ def test_bpeish_token_counter():
     batch = _docs_batch()
     out = c(batch)
     assert (np.array(out["n_bpe_tokens"].to_pylist()) > 0).all()
+
+
+def test_batch_gram_hashes_matches_per_doc():
+    """The one-pass batched gram kernel must equal per-doc gram_hashes,
+    including boundary (short/empty doc) cases."""
+    import numpy as np
+
+    from myzql_binlog_connector_ray.functions.dedup import MinHasher, gram_hashes, word_hash31_array
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "one two",  # shorter than k=5
+        "",  # empty
+        "alpha beta gamma delta epsilon zeta eta",
+        "x " * 200,
+    ]
+    mh = MinHasher()
+    allg, lens = mh._batch_gram_hashes(texts)
+    start = 0
+    for t, n in zip(texts, lens.tolist()):
+        want = gram_hashes(word_hash31_array(t.split(), {}), mh.k)
+        got = allg[start : start + n]
+        assert np.array_equal(got, want), t[:30]
+        start += n
+    sig_batch = mh._signatures(texts)
+    for i, t in enumerate(texts):
+        assert np.array_equal(sig_batch[i], mh.signature(t))
+
+
+def test_minhash_verified_strategies_agree(ray_session):
+    """broadcast (small-pairs) and bucket_join (all-shuffle) verify
+    paths must produce identical pairs + jaccard values."""
+    from myzql_binlog_connector_ray import api
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+    a = norm(api.minhash_dup_verified("/root/testdata/sf0.001", strategy="broadcast"))
+    b = norm(api.minhash_dup_verified("/root/testdata/sf0.001", strategy="bucket_join"))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a[["a", "b", "jaccard"]], b[["a", "b", "jaccard"]])

@@ -162,6 +162,9 @@ def run_bench() -> dict:
         timed("token_count_by_lang", api.token_count_by_lang)
         timed("ann_topk_bruteforce", api.ann_topk_bruteforce)
         timed("minhash_dup_candidates", api.minhash_dup_candidates)
+        timed("minhash_dup_verified", api.minhash_dup_verified)
+        timed("multimodal_decode", api.multimodal_decode)
+        timed("events_sessionize", api.events_sessionize)
 
     queries["ingest"] = round(ingest_sec, 4)
     if envelope_sec is not None:

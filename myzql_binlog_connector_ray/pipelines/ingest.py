@@ -304,6 +304,9 @@ def run_ingest(
         import shutil as _shutil
 
         staging_dir = os.path.join(lake_dir, "_staging")
+        # a crashed earlier run may have staged segments not in THIS
+        # run's input; stale files must not leak into the apply
+        _shutil.rmtree(staging_dir, ignore_errors=True)
         manifests = decode_typed(
             segments,
             target_table,

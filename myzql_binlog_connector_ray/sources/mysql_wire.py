@@ -37,6 +37,7 @@ CLIENT_PLUGIN_AUTH = 0x80000
 CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA = 0x200000
 
 COM_QUERY = 0x03
+COM_PING = 0x0E
 COM_BINLOG_DUMP = 0x12
 BINLOG_DUMP_NON_BLOCK = 0x01
 
@@ -321,11 +322,18 @@ class MysqlConnection:
             if payload and payload[0] == 0x01:  # caching_sha2 extra data
                 if payload[1:2] == b"\x03":  # fast auth success → OK follows
                     continue
-                raise MysqlError(
-                    -1,
-                    "caching_sha2_password full authentication requires TLS "
-                    "(connect with use_tls=True) or a cached server entry",
-                )
+                if payload[1:2] == b"\x04":  # full authentication request
+                    if self.use_tls:
+                        # over TLS the cleartext password is the protocol
+                        self.io.write_packet(self.password.encode() + b"\x00")
+                        continue
+                    raise MysqlError(
+                        -1,
+                        "caching_sha2_password full authentication requires TLS "
+                        "(connect with use_tls=True) or a cached server entry; "
+                        "the RSA key exchange needs an RSA library not present here",
+                    )
+                raise MysqlError(-1, f"unexpected caching_sha2 state 0x{payload[1:2].hex()}")
             raise MysqlError(-1, f"unexpected auth packet 0x{payload[:1].hex()}")
 
     def close(self) -> None:
@@ -336,6 +344,12 @@ class MysqlConnection:
                 self.io = None
 
     # -- commands ---------------------------------------------------
+
+    def ping(self) -> bool:
+        """COM_PING liveness check (reference: src/mysql/conn.zig ping)."""
+        assert self.io is not None, "not connected"
+        self.io.write_packet(bytes([COM_PING]), reset_seq=True)
+        return is_ok(self.io.read_packet())
 
     def query(self, sql: str) -> None:
         """Execute a statement; OK expected (result sets are drained and

@@ -21,6 +21,7 @@ from myzql_binlog_connector_ray.kernel.constants import BINLOG_MAGIC, EventType
 from myzql_binlog_connector_ray.kernel.event_codec import parse_event_header
 from myzql_binlog_connector_ray.sources.mysql_wire import (
     CLIENT_LONG_PASSWORD,
+    COM_PING,
     CLIENT_PLUGIN_AUTH,
     CLIENT_PROTOCOL_41,
     CLIENT_SECURE_CONNECTION,
@@ -145,7 +146,7 @@ class ReplayServer:
                 return
             if not cmd:
                 return
-            if cmd[0] == COM_QUERY:
+            if cmd[0] in (COM_QUERY, COM_PING):
                 io.write_packet(OK)
             elif cmd[0] == COM_BINLOG_DUMP:
                 _pos, _flags, _sid = struct.unpack_from("<IHI", cmd, 1)

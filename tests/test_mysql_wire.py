@@ -60,6 +60,7 @@ def replay(fixture_paths):
 def test_connect_auth_and_query(replay):
     conn = MysqlConnection(port=replay.port, user="repl", password="secret").connect()
     conn.query("SET @master_binlog_checksum='CRC32'")
+    assert conn.ping()
     conn.close()
 
 
@@ -112,3 +113,24 @@ def test_tail_stop_position(replay, fixture_paths, tmp_path):
     )
     assert [m.segment for m in manifests] == ["binlog.000001"]
     assert manifests[0].events >= 1
+
+
+def test_packet_framing_16mb_continuation():
+    """Payloads ≥ 16 MB split into 0xFFFFFF chunks + terminator; exact
+    16 MB needs a trailing empty packet (protocol edge case)."""
+    import socket
+    import threading
+
+    from myzql_binlog_connector_ray.sources.mysql_wire import MAX_PACKET, PacketIO
+
+    for size in (0, 5, MAX_PACKET - 1, MAX_PACKET, MAX_PACKET + 7):
+        a, b = socket.socketpair()
+        payload = bytes(i & 0xFF for i in range(size % 251)) * (size // max(1, size % 251) + 1)
+        payload = payload[:size]
+        sender, receiver = PacketIO(a), PacketIO(b)
+        t = threading.Thread(target=sender.write_packet, args=(payload,))
+        t.start()
+        got = receiver.read_packet()
+        t.join(timeout=10)
+        assert got == payload, f"size {size}"
+        a.close(); b.close()

@@ -199,3 +199,38 @@ def test_schema_evolution_in_lake(ray_session, fixture_paths, lake):
     starred = df[df["stars"].notna()]
     assert len(starred) > 0
     assert starred["commit"].notna().all()
+
+
+def test_staged_exchange_clears_stale_staging(ray_session, fixture_paths, tmp_path, sf_dir):
+    """A crashed run's staged files for segments NOT in the current
+    input must not leak into the apply."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(fixture_paths["base_lake"])
+    lake_dir = str(tmp_path / "lake_stale")
+    init_lake(base, lake_dir, N_PARTS)
+    # plant a stale staged file claiming a absurdly-late change for a key
+    stale_dir = os.path.join(lake_dir, "_staging", "part=0")
+    os.makedirs(stale_dir)
+    stale = pa.table(
+        {
+            "segment": pa.array(["binlog.999999"]),
+            "ordinal": pa.array([10**9], pa.int64()),
+            "event_row_index": pa.array([1], pa.int64()),
+            "dml": pa.array(["UPDATE"]),
+            "repo": pa.array(["org1/repo1"]),
+            "path": pa.array(["src/f1.en"]),
+            "commit": pa.array(["deadbeef"]),
+            "lang": pa.array(["en"]),
+            "content": pa.array(["STALE CONTENT MUST NOT APPEAR"]),
+            "stars": pa.array([None], pa.int64()),
+            "part": pa.array([0], pa.int32()),
+        }
+    )
+    feather.write_feather(stale, os.path.join(stale_dir, "stale.ipc"), compression="uncompressed")
+
+    run_ingest(fixture_paths["segment_paths"], lake_dir, num_partitions=N_PARTS, concurrency=2)
+    got = read_lake(lake_dir).to_pandas()
+    assert not (got["content"] == "STALE CONTENT MUST NOT APPEAR").any()

@@ -21,13 +21,15 @@ from myzql_binlog_connector_ray.kernel.constants import BINLOG_MAGIC, EventType
 from myzql_binlog_connector_ray.kernel.event_codec import parse_event_header
 from myzql_binlog_connector_ray.sources.mysql_wire import (
     CLIENT_LONG_PASSWORD,
-    COM_PING,
     CLIENT_PLUGIN_AUTH,
     CLIENT_PROTOCOL_41,
     CLIENT_SECURE_CONNECTION,
+    CLIENT_SSL,
     COM_BINLOG_DUMP,
+    COM_PING,
     COM_QUERY,
     PacketIO,
+    scramble_caching_sha2,
     scramble_native_password,
 )
 
@@ -64,10 +66,21 @@ def fake_rotate_frame(binlog_file: str, position: int = 4) -> bytes:
 class ReplayServer:
     """Serves segment files from ``segment_dir`` to one client at a time."""
 
-    def __init__(self, segment_dir: str, user: str = "repl", password: str = "secret"):
+    def __init__(
+        self,
+        segment_dir: str,
+        user: str = "repl",
+        password: str = "secret",
+        tls_cert: str | None = None,
+        tls_key: str | None = None,
+        auth_plugin: str = "mysql_native_password",
+    ):
         self.segment_dir = segment_dir
         self.user = user
         self.password = password
+        self.tls_cert = tls_cert
+        self.tls_key = tls_key
+        self.auth_plugin = auth_plugin
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.sock.bind(("127.0.0.1", 0))
@@ -86,10 +99,16 @@ class ReplayServer:
 
     # -- protocol ---------------------------------------------------
 
-    def _handshake_v10(self) -> bytes:
+    def _caps(self) -> int:
         caps = (
             CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
         )
+        if self.tls_cert:
+            caps |= CLIENT_SSL
+        return caps
+
+    def _handshake_v10(self) -> bytes:
+        caps = self._caps()
         return (
             bytes([10])
             + b"8.0.0-replay\x00"
@@ -104,7 +123,8 @@ class ReplayServer:
             + b"\x00" * 10
             + SEED[8:]
             + b"\x00"
-            + b"mysql_native_password\x00"
+            + getattr(self, "auth_plugin", "mysql_native_password").encode()
+            + b"\x00"
         )
 
     def _check_auth(self, payload: bytes) -> bool:
@@ -114,7 +134,10 @@ class ReplayServer:
         pos = end + 1
         alen = payload[pos]
         auth = payload[pos + 1 : pos + 1 + alen]
-        want = scramble_native_password(self.password, SEED)
+        if getattr(self, "auth_plugin", "mysql_native_password") == "caching_sha2_password":
+            want = scramble_caching_sha2(self.password, SEED)
+        else:
+            want = scramble_native_password(self.password, SEED)
         return username == self.user and auth == want
 
     def _serve(self) -> None:
@@ -135,9 +158,25 @@ class ReplayServer:
         io = PacketIO(conn)
         io.write_packet(self._handshake_v10())
         resp = io.read_packet()
+        if len(resp) == 32 and struct.unpack_from("<I", resp, 0)[0] & CLIENT_SSL:
+            # SSLRequest: upgrade the transport, then expect the real
+            # handshake response over TLS
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(self.tls_cert, self.tls_key)
+            io.sock = ctx.wrap_socket(conn, server_side=True)
+            resp = io.read_packet()
         if not self._check_auth(resp):
             io.write_packet(_err(1045, "Access denied"))
             return
+        if getattr(self, "auth_plugin", "mysql_native_password") == "caching_sha2_password":
+            # pretend no cached entry: request full authentication
+            io.write_packet(b"\x01\x04")
+            full = io.read_packet()
+            if full.rstrip(b"\x00").decode() != self.password:
+                io.write_packet(_err(1045, "Access denied (full auth)"))
+                return
         io.write_packet(OK)
         while True:
             try:

@@ -37,6 +37,8 @@ def test_native_password_scramble_vector():
 def test_handshake_roundtrip_parse():
     srv = ReplayServer.__new__(ReplayServer)
     srv.user, srv.password = "u", "p"
+    srv.tls_cert = srv.tls_key = None
+    srv.auth_plugin = "mysql_native_password"
     payload = ReplayServer._handshake_v10(srv)
     hs = parse_handshake_v10(payload)
     assert hs.protocol_version == 10
@@ -134,3 +136,46 @@ def test_packet_framing_16mb_continuation():
         t.join(timeout=10)
         assert got == payload, f"size {size}"
         a.close(); b.close()
+
+
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    import subprocess
+
+    d = tmp_path_factory.mktemp("tls")
+    cert, key = str(d / "cert.pem"), str(d / "key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout", key, "-out", cert,
+         "-days", "1", "-nodes", "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+    return cert, key
+
+
+def test_tls_upgrade_and_caching_sha2_full_auth(fixture_paths, tls_cert, tmp_path):
+    """SSLRequest upgrade + caching_sha2 full authentication (plaintext
+    password over the TLS channel) + a tailed stream over TLS."""
+    cert, key = tls_cert
+    seg_dir = os.path.dirname(fixture_paths["segment_paths"][0])
+    with ReplayServer(
+        seg_dir, tls_cert=cert, tls_key=key, auth_plugin="caching_sha2_password"
+    ) as srv:
+        out = str(tmp_path / "tls_tailed")
+        manifests = tail_binlog_to_segments(
+            out, port=srv.port, user="repl", password="secret",
+            use_tls=True, start_file="binlog.000001",
+        )
+        assert {m.segment for m in manifests} >= {
+            os.path.basename(p) for p in fixture_paths["segment_paths"]
+        }
+    assert srv.errors == []
+
+
+def test_caching_sha2_full_auth_refused_without_tls(fixture_paths, tls_cert):
+    cert, key = tls_cert
+    seg_dir = os.path.dirname(fixture_paths["segment_paths"][0])
+    with ReplayServer(
+        seg_dir, tls_cert=cert, tls_key=key, auth_plugin="caching_sha2_password"
+    ) as srv:
+        with pytest.raises(MysqlError, match="full authentication requires TLS"):
+            MysqlConnection(port=srv.port, user="repl", password="secret").connect()

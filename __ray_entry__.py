@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_verified": api.minhash_dup_verified,
         "ann_topk_ivf": api.ann_topk_ivf,
         "token_count_bpe_by_lang": api.token_count_bpe_by_lang,
+        "corpus_curation_stats": api.corpus_curation_stats,
     }
 
 
@@ -136,6 +137,22 @@ def _lsh_bucket_expr(bits: int = 4, dim: int = 64, seed: int = 11) -> str:
         lit = "[" + ", ".join(repr(float(x)) for x in planes[b]) + "]"
         cases.append(f"(CASE WHEN list_dot_product(embedding, {lit}) > 0 THEN {1 << b} ELSE 0 END)")
     return " + ".join(cases)
+
+
+def _langid_case() -> str:
+    """The LanguageId heuristic as a SQL CASE (expects s_en..s_de and
+    text in scope — pair with _langid_scores())."""
+    return """CASE
+                     WHEN length(text) > 0
+                          AND length(regexp_replace(substr(text, 1, 200), '[^\u4e00-\u9fff]', '', 'g')) * 1.0
+                              / greatest(1, least(length(text), 200)) > 0.2
+                       THEN 'zh'
+                     WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'unknown'
+                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                     WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                     WHEN s_fr >= s_de THEN 'fr'
+                     ELSE 'de'
+                   END"""
 
 
 def _fingerprint_cte() -> str:
@@ -382,6 +399,29 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY l_orderkey
             )
             QUALIFY rk <= 10
+        """,
+        "corpus_curation_stats": f"""
+            WITH scored AS (
+              SELECT doc_id, text,
+                     {_langid_case()} AS lang_pred,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+              FROM (SELECT doc_id, text, {_langid_scores()} FROM documents)
+            ),
+            corpus AS (
+              SELECT doc_id, text, lang_pred, n_tokens FROM scored
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang_pred, n_tokens FROM scored
+            ),
+            kept AS (SELECT * FROM corpus WHERE n_tokens >= 30),
+            dedup AS (
+              SELECT md5(text) AS h, min(doc_id) AS doc_id,
+                     min(lang_pred) AS lang_pred, min(n_tokens) AS n_tokens
+              FROM kept GROUP BY md5(text)
+            )
+            SELECT lang_pred, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM dedup GROUP BY lang_pred
         """,
         "minhash_dup_candidates": f"""
             WITH {_minhash_cte()}

@@ -863,3 +863,40 @@ def token_count_bpe_by_lang(sf_dir: str, *, concurrency=(1, 2)):
     return ds.groupby("lang").aggregate(
         Sum("n_bpe_tokens", alias_name="total_bpe_tokens"), Count(alias_name="n_docs")
     )
+
+
+def corpus_curation_stats(sf_dir: str, *, min_tokens: int = 30):
+    """Composite training-data curation pipeline — language ID →
+    token-count quality gate → exact dedup → per-language corpus stats,
+    all SQL-checked end to end. The corpus is documents ∪ an exact
+    copy (doc_id + 1M) so the dedup stage provably halves the kept set.
+
+    Scale shape: three vectorized map stages, then the only shuffles
+    are on (content_hash) — shipping 4 small columns, never text — and
+    on the tiny lang_pred aggregate.
+    """
+    from ray.data.aggregate import Min
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    dup = ds.map_batches(
+        lambda t: t.set_column(0, "doc_id", pa.compute.add(t["doc_id"], 1_000_000)),
+        batch_format="pyarrow",
+    )
+    corpus = ds.union(dup)
+    corpus = corpus.map_batches(_task_stage(LanguageId), batch_format="pyarrow")
+    corpus = corpus.map_batches(token_count_batch, batch_format="pyarrow")
+    kept = corpus.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["n_tokens"], min_tokens)),
+        batch_format="pyarrow",
+    )
+    hashed = kept.map_batches(add_content_hash, batch_format="pyarrow").select_columns(
+        ["doc_id", "content_hash", "lang_pred", "n_tokens"]
+    )
+    uniq = hashed.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Min("lang_pred", alias_name="lang_pred"),
+        Min("n_tokens", alias_name="n_tokens"),
+    )
+    return uniq.groupby("lang_pred").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
+    )

@@ -87,6 +87,7 @@ SQL_CHECKED = [
     "embedding_near_dup_pairs",
     "doc_fingerprints",  # codepoint polynomial windows recomputed via list_transform
     "multimodal_decode",  # real BMP/WAV/y4m decode vs closed-form payload spec
+    "corpus_curation_stats",  # composite: langid -> quality gate -> dedup -> stats
 ]
 
 ROWS_ONLY = [

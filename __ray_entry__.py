@@ -511,7 +511,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": f"""
             WITH e AS (SELECT vec_id, embedding, {_lsh_bucket_expr()} AS bucket FROM embeddings),
             q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM e ORDER BY vec_id LIMIT 5),
-            cand AS (SELECT vec_id, embedding FROM e WHERE bucket IN (SELECT bucket FROM q)),
+            probes AS (
+              SELECT DISTINCT xor(q.bucket, f.flip) AS bucket
+              FROM q, (SELECT unnest([0, 1, 2, 4, 8]) AS flip) f
+            ),
+            cand AS (SELECT vec_id, embedding FROM e WHERE bucket IN (SELECT bucket FROM probes)),
             s AS (
               SELECT q.qid, c.vec_id AS nid, list_cosine_similarity(q.qe, c.embedding) AS sim
               FROM q CROSS JOIN cand c

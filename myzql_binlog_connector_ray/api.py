@@ -338,7 +338,9 @@ def doc_fingerprints(sf_dir: str):
 
 
 def ann_topk_lsh(sf_dir: str, *, k: int = 10, num_queries: int = 5, bits: int = 4):
-    """LSH-bucketed ANN (scale path): search only the query's bucket."""
+    """LSH-bucketed ANN (scale path): search only the query's bucket
+    plus its Hamming-distance-1 neighbors (multiprobe) — recall ~2x the
+    single-bucket probe at the cost of bits+1 buckets scanned."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     head = _parquet_head(path, ["vec_id", "embedding"], num_queries)
     q = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
@@ -351,7 +353,11 @@ def ann_topk_lsh(sf_dir: str, *, k: int = 10, num_queries: int = 5, bits: int = 
     ds = ds.map_batches(
         LshBucketer, fn_constructor_kwargs=dict(dim=dim, bits=bits), batch_format="pyarrow", concurrency=(1, 2)
     )
-    wanted = set(int(b) for b in q_buckets)
+    wanted = set()
+    for b in q_buckets:
+        wanted.add(int(b))
+        for i in range(bits):  # multiprobe: flip each hyperplane bit
+            wanted.add(int(b) ^ (1 << i))
     ds = ds.map_batches(
         lambda t: t.filter(pa.compute.is_in(t["bucket"], value_set=pa.array(sorted(wanted), pa.int64()))),
         batch_format="pyarrow",

@@ -250,3 +250,29 @@ def test_minhash_verified_strategies_agree(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a[["a", "b", "jaccard"]], b[["a", "b", "jaccard"]])
+
+
+def test_ann_variants_recall_vs_bruteforce(ray_session):
+    """End-to-end recall of the approximate ANN paths against the exact
+    brute-force top-k on real embeddings: LSH (bucket-restricted) and
+    IVF (probed lists) must each recover a solid fraction of the true
+    neighbors — the quality guarantee the approximate variants trade
+    speed against."""
+    from myzql_binlog_connector_ray import api
+
+    sf = "/root/testdata/sf0.001"
+
+    def pairs(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return {(int(q), int(n)) for q, n in zip(df["qid"], df["nid"])}
+
+    exact = pairs(api.ann_topk_bruteforce(sf, k=10, num_queries=5))
+    lsh = pairs(api.ann_topk_lsh(sf, k=10, num_queries=5, bits=4))
+    ivf = pairs(api.ann_topk_ivf(sf, k=10, num_queries=5, n_lists=8, nprobe=3))
+    assert len(exact) == 50
+    lsh_recall = len(exact & lsh) / len(exact)
+    ivf_recall = len(exact & ivf) / len(exact)
+    # thresholds are loose on purpose: they catch a broken index (recall
+    # near 0), not tuning drift
+    assert lsh_recall >= 0.6, f"LSH recall {lsh_recall}"  # measured 0.8-0.92 w/ multiprobe
+    assert ivf_recall >= 0.5, f"IVF recall {ivf_recall}"  # measured 0.84-0.9

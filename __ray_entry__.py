@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": api.ann_topk_ivf,
         "token_count_bpe_by_lang": api.token_count_bpe_by_lang,
         "corpus_curation_stats": api.corpus_curation_stats,
+        "simhash_dup_pairs": api.simhash_dup_pairs,
     }
 
 
@@ -137,6 +138,27 @@ def _lsh_bucket_expr(bits: int = 4, dim: int = 64, seed: int = 11) -> str:
         lit = "[" + ", ".join(repr(float(x)) for x in planes[b]) + "]"
         cases.append(f"(CASE WHEN list_dot_product(embedding, {lit}) > 0 THEN {1 << b} ELSE 0 END)")
     return " + ".join(cases)
+
+
+def _simhash_cte(source: str) -> str:
+    """SimHasher's 60-bit fingerprint recomputed in SQL over ``source``
+    (a table/CTE with doc_id, text) — shared by the fingerprint and
+    near-dup-pairs oracles."""
+    return f"""
+      swords AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM {source}),
+      swh AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,15)) AS BIGINT) AS h FROM swords),
+      sbits AS (
+        SELECT doc_id, b.bit,
+               sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        FROM swh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
+        GROUP BY doc_id, b.bit
+      ),
+      sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+        FROM sbits GROUP BY doc_id
+      )
+    """
 
 
 def _langid_case() -> str:
@@ -422,6 +444,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_pred, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM dedup GROUP BY lang_pred
+        """,
+        "simhash_dup_pairs": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' tail' FROM documents
+            ),
+            {_simhash_cte("corpus")},
+            bands AS (
+              SELECT doc_id, simhash, b.b AS band, (simhash >> (10 * b.b)) & 1023 AS key
+              FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) b
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+              FROM bands x
+              JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+            )
+            SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 6
         """,
         "minhash_dup_candidates": f"""
             WITH {_minhash_cte()}

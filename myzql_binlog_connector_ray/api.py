@@ -906,3 +906,65 @@ def corpus_curation_stats(sf_dir: str, *, min_tokens: int = 30):
     return uniq.groupby("lang_pred").aggregate(
         Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
     )
+
+
+def simhash_dup_pairs(sf_dir: str, *, bands: int = 6, band_bits: int = 10, max_hamming: int = 6):
+    """SimHash near-dup pairs: banded Hamming-LSH over the 60-bit
+    fingerprint (6 bands × 10 bits — pigeonhole guarantees any pair
+    within Hamming ≤ 5 collides on some band), then exact popcount
+    verification ≤ ``max_hamming`` inside the group. Corpus is
+    documents ∪ near-identical ' tail' copies (planted ground truth:
+    measured Hamming 0–11 for the copies vs ≥ 8 for unrelated pairs).
+
+    Scale shape: the only shuffles move (band, key, doc_id, simhash) —
+    16 B/doc/band — and the tiny verified pair set.
+    """
+    corpus = _dup_corpus(sf_dir)
+    hashed = corpus.map_batches(_task_stage(SimHasher), batch_format="pyarrow").select_columns(
+        ["doc_id", "simhash"]
+    )
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(h)
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n), pa.int32()),
+                "key": pa.array(
+                    np.concatenate(
+                        [(h >> (band_bits * b)) & ((1 << band_bits) - 1) for b in range(bands)]
+                    ),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
+                "simhash": pa.array(np.tile(h, bands), pa.int64()),
+            }
+        )
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_pylist()
+        hs = g["simhash"].to_pylist()
+        seen = sorted(set(zip(ids, hs)))
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(seen)):
+            for j in range(i + 1, len(seen)):
+                d = bin(seen[i][1] ^ seen[j][1]).count("1")
+                if d <= max_hamming:
+                    a_out.append(seen[i][0])
+                    b_out.append(seen[j][0])
+                    d_out.append(d)
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    cand = hashed.map_batches(band_rows, batch_format="pyarrow")
+    pairs = cand.groupby(["band", "key"]).map_groups(emit_pairs, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+
+    deduped = pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return deduped

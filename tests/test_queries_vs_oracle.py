@@ -88,6 +88,7 @@ SQL_CHECKED = [
     "doc_fingerprints",  # codepoint polynomial windows recomputed via list_transform
     "multimodal_decode",  # real BMP/WAV/y4m decode vs closed-form payload spec
     "corpus_curation_stats",  # composite: langid -> quality gate -> dedup -> stats
+    "simhash_dup_pairs",  # banded Hamming LSH + popcount verify, bit-exact in SQL
 ]
 
 ROWS_ONLY = [

@@ -30,7 +30,6 @@ from .functions.dedup import (
     MinHasher,
     SimHasher,
     add_content_hash,
-    band_bucket_pairs,
     jaccard_from_sets,
 )
 from .functions.multimodal import DecodeStub, payload_stats, text_to_media_batch

@@ -230,3 +230,31 @@ def test_row_json_full_row_is_valid_json():
     assert obj["c20"] == "-123.45"
     assert obj["c9"] == "2023-12-31 23:59:59"
     assert obj["c12"].endswith(".654321Z")
+
+
+def test_truncated_segment_decodes_clean_prefix():
+    """A segment cut mid-event (crash during tail/copy) must decode its
+    complete prefix and stop cleanly — no exception, no partial row."""
+    from myzql_binlog_connector_ray.kernel.event_codec import iter_events
+    from myzql_binlog_connector_ray.kernel.binlog_writer import (
+        SegmentWriter,
+        TableSpec,
+        c_long,
+        c_varchar,
+    )
+
+    w = SegmentWriter()
+    w.format_description()
+    spec = TableSpec(schema="d", table="t", table_id=7, columns=[c_long(), c_varchar(40)])
+    for i in range(5):
+        w.gtid(i)
+        w.table_map(spec)
+        w.write_rows(spec, [[i, f"row{i}"]])
+    blob = w.getvalue()
+    full = list(iter_events(blob))
+    for cut in (len(blob) - 1, len(blob) - 10, len(blob) // 2, 30):
+        got = list(iter_events(blob[:cut]))
+        assert len(got) < len(full)
+        # every yielded event is byte-complete and matches the full parse
+        for a, b in zip(got, full):
+            assert a == b

@@ -8,10 +8,12 @@ Prints ONE JSON line:
 
 - input: $GRAFT_SF_DIR (default /root/testdata/sf0.1)
 - cpus:  $RAY_GRAFT_CPUS (default 32)
-- --scaling: runs the headline job in TWO fresh subprocesses
-  (num_cpus=8 and num_cpus=32) on the same input and reports both
+- --scaling: runs the headline job in fresh subprocesses at two
+  parallelism levels (default 4 vs 16 CPUs, best-of-2 per level;
+  override GRAFT_SCALING_LO/HI) on the same input and reports both
   throughputs + scaling efficiency (the sandbox proxy for the N vs 4N
-  node criterion in BASELINE.md).
+  node criterion in BASELINE.md; 4v16 leaves headroom for Ray system
+  threads — see BASELINE.md for the 8v32 whole-host caveat).
 
 The headline pipeline is the flagship: binlog segments → actor-pool
 decode → hash-partitioned LWW upsert apply with transactional commits.
@@ -165,6 +167,8 @@ def run_bench() -> dict:
         timed("minhash_dup_verified", api.minhash_dup_verified)
         timed("multimodal_decode", api.multimodal_decode)
         timed("events_sessionize", api.events_sessionize)
+        timed("corpus_curation_stats", api.corpus_curation_stats)
+        timed("simhash_dup_pairs", api.simhash_dup_pairs)
 
     queries["ingest"] = round(ingest_sec, 4)
     if envelope_sec is not None:

@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe_by_lang": api.token_count_bpe_by_lang,
         "corpus_curation_stats": api.corpus_curation_stats,
         "simhash_dup_pairs": api.simhash_dup_pairs,
+        "events_order_value_range_join": api.events_order_value_range_join,
     }
 
 
@@ -444,6 +445,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_pred, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM dedup GROUP BY lang_pred
+        """,
+        "events_order_value_range_join": """
+            SELECT o_orderpriority, count(*) AS n_pairs
+            FROM events e
+            JOIN orders o
+              ON e.value >= o.o_totalprice / 1000.0 - 1.0
+             AND e.value <  o.o_totalprice / 1000.0
+            GROUP BY o_orderpriority
         """,
         "simhash_dup_pairs": f"""
             WITH corpus AS (

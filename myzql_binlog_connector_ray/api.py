@@ -967,3 +967,94 @@ def simhash_dup_pairs(sf_dir: str, *, bands: int = 6, band_bits: int = 10, max_h
 
     deduped = pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
     return deduped
+
+
+def events_order_value_range_join(sf_dir: str):
+    """Range (interval) join — inequality-only predicate, no equality
+    key: pair every event with orders whose scaled price interval
+    covers the event's value (``r - 1.0 <= value < r`` with
+    ``r = o_totalprice / 1000.0``), counted per order priority.
+
+    Distributed shape: the classic binned interval join — both sides
+    hash-bucket by unit-width value bins (an interval lands in every
+    bin it overlaps, an event in exactly one), so each candidate pair
+    co-locates in exactly one bin group; inside the group the count is
+    two vectorized ``searchsorted`` passes, never a per-pair loop. The
+    shuffle ships 2–3 small numeric columns per row. Float boundary
+    arithmetic (r - 1.0) matches the SQL oracle's expression exactly.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice", "o_orderpriority"]
+    )
+    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        r = t["o_totalprice"].to_numpy(zero_copy_only=False) / 1000.0
+        lo = r - 1.0
+        pr = t["o_orderpriority"].to_pylist()
+        bins_out, r_out, lo_out, pr_out = [], [], [], []
+        for i in range(len(r)):
+            for b in range(int(np.floor(lo[i])), int(np.floor(r[i])) + 1):
+                bins_out.append(b)
+                r_out.append(r[i])
+                lo_out.append(lo[i])
+                pr_out.append(pr[i])
+        return pa.table(
+            {
+                "bin": pa.array(bins_out, pa.int64()),
+                "side": pa.array(["o"] * len(bins_out), pa.string()),
+                "r": pa.array(r_out, pa.float64()),
+                "lo": pa.array(lo_out, pa.float64()),
+                "priority": pa.array(pr_out, pa.string()),
+            }
+        )
+
+    def prep_events(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bin": pa.array(np.floor(v).astype(np.int64), pa.int64()),
+                "side": pa.array(["e"] * len(v), pa.string()),
+                "r": pa.array(v, pa.float64()),  # event value rides in r
+                "lo": pa.array(np.zeros(len(v)), pa.float64()),
+                "priority": pa.array([""] * len(v), pa.string()),
+            }
+        )
+
+    both = orders.map_batches(prep_orders, batch_format="pyarrow").union(
+        events.map_batches(prep_events, batch_format="pyarrow")
+    )
+
+    def count_group(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["side"].to_pylist())
+        vals = g["r"].to_numpy(zero_copy_only=False)
+        los = g["lo"].to_numpy(zero_copy_only=False)
+        prio = np.asarray(g["priority"].to_pylist())
+        ev = np.sort(vals[side == "e"])
+        out_p, out_n = [], []
+        if len(ev):
+            omask = side == "o"
+            for p in np.unique(prio[omask]):
+                sel = omask & (prio == p)
+                r_sorted = np.sort(vals[sel])
+                lo_sorted = np.sort(los[sel])
+                # pairs: lo <= v < r  ⇔  #(lo <= v) − #(r <= v) summed over events
+                n = int(
+                    np.searchsorted(lo_sorted, ev, side="right").sum()
+                    - np.searchsorted(r_sorted, ev, side="right").sum()
+                )
+                if n:
+                    out_p.append(str(p))
+                    out_n.append(n)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(out_p, pa.string()),
+                "n_pairs": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    partial = both.groupby("bin").map_groups(count_group, batch_format="pyarrow")
+    return partial.groupby("o_orderpriority").aggregate(_Sum("n_pairs", alias_name="n_pairs"))

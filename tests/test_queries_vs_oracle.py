@@ -89,6 +89,7 @@ SQL_CHECKED = [
     "multimodal_decode",  # real BMP/WAV/y4m decode vs closed-form payload spec
     "corpus_curation_stats",  # composite: langid -> quality gate -> dedup -> stats
     "simhash_dup_pairs",  # banded Hamming LSH + popcount verify, bit-exact in SQL
+    "events_order_value_range_join",  # binned interval join, inequality-only predicate
 ]
 
 ROWS_ONLY = [

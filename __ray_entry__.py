@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation_stats": api.corpus_curation_stats,
         "simhash_dup_pairs": api.simhash_dup_pairs,
         "events_order_value_range_join": api.events_order_value_range_join,
+        "events_hopping_window": api.events_hopping_window,
     }
 
 
@@ -394,6 +395,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_value
             FROM events GROUP BY user_id, window_start
+        """,
+        "events_hopping_window": """
+            SELECT user_id,
+                   CAST(((epoch_us(ts) // 1000000) // 1800 - i.i) * 1800 AS BIGINT) AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_value
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i
+            GROUP BY user_id, window_start
         """,
         "events_sessionize": """
             WITH e AS (

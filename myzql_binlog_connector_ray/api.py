@@ -1058,3 +1058,32 @@ def events_order_value_range_join(sf_dir: str):
 
     partial = both.groupby("bin").map_groups(count_group, batch_format="pyarrow")
     return partial.groupby("o_orderpriority").aggregate(_Sum("n_pairs", alias_name="n_pairs"))
+
+
+def events_hopping_window(sf_dir: str, *, window_sec: int = 3600, hop_sec: int = 1800):
+    """Hopping (sliding) windows: size 1 h, hop 30 min — every event
+    belongs to ``window_sec // hop_sec`` overlapping windows. The
+    flat-map fan-out happens inside ``map_batches`` (vectorized repeat)
+    before a single (user, window) aggregate; no per-event Python."""
+    overlap = window_sec // hop_sec
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"])
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sec = ts_us // 1_000_000
+        base = (sec // hop_sec) * hop_sec
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        starts = np.concatenate([base - i * hop_sec for i in range(overlap)])
+        return pa.table(
+            {
+                "user_id": pa.array(np.tile(uid, overlap), pa.int64()),
+                "window_start": pa.array(starts, pa.int64()),
+                "value_cents": pa.array(np.tile(cents, overlap), pa.int64()),
+            }
+        )
+
+    fanned = ds.map_batches(fan_out, batch_format="pyarrow")
+    return fanned.groupby(["user_id", "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum("value_cents", alias_name="total_value")
+    )

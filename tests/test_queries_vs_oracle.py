@@ -90,6 +90,7 @@ SQL_CHECKED = [
     "corpus_curation_stats",  # composite: langid -> quality gate -> dedup -> stats
     "simhash_dup_pairs",  # banded Hamming LSH + popcount verify, bit-exact in SQL
     "events_order_value_range_join",  # binned interval join, inequality-only predicate
+    "events_hopping_window",  # overlapping windows via vectorized fan-out
 ]
 
 ROWS_ONLY = [

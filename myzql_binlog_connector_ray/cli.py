@@ -53,6 +53,12 @@ def main(argv=None) -> int:
         help="write plain-text logs to this file (truncated on open) instead of colored stderr",
     )
     parser.add_argument("--limit", type=int, default=50, help="stdout mode: max rows printed")
+    parser.add_argument(
+        "--resume",
+        action="store_true",
+        help="tail mode: continue after the last closed segment in segments_dir "
+        "(re-tails a partial last segment from its start)",
+    )
     args = parser.parse_args(argv)
 
     from .logging_config import get_logger, init as init_logging
@@ -77,6 +83,7 @@ def main(argv=None) -> int:
             start_position=cfg.from_binlog_position,
             stop_file=cfg.to_binlog_file,
             stop_position=cfg.to_binlog_position,
+            resume=args.resume,
         )
         for m in manifests:
             print(f"{m.segment}: {m.events} events, {m.bytes} bytes -> {m.path}")

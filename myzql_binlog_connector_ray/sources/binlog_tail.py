@@ -123,6 +123,41 @@ class BinlogTailer:
         return self.manifests
 
 
+def resume_point(out_dir: str, default_file: str = "binlog.000001") -> tuple[str, int]:
+    """Where a restarted tailer should re-dump from.
+
+    The last segment in ``out_dir`` is complete iff its final event is
+    a ROTATE (MySQL ends every binlog file with one) — then resume from
+    the rotate's target file. Otherwise the segment is partial (the
+    previous tail stopped mid-file), so re-dump that file from its
+    start; the atomic rename on close makes the overwrite safe. A
+    crashed tailer leaves only a hidden temp file, which is ignored.
+    Returns (file, position=4); ``default_file`` when the dir is empty.
+    """
+    try:
+        segs = sorted(f for f in os.listdir(out_dir) if f.startswith("binlog."))
+    except FileNotFoundError:
+        segs = []
+    if not segs:
+        return default_file, 4
+    last = segs[-1]
+    with open(os.path.join(out_dir, last), "rb") as f:
+        blob = f.read()
+    # header-only scan to the final event (event_size framing)
+    pos = 4 if blob[:4] == BINLOG_MAGIC else 0
+    last_type, last_frame = None, b""
+    while pos + 19 <= len(blob):
+        et, _ts, _sid, size, _lp, _fl = parse_event_header(blob, pos)
+        if size < 19 or pos + size > len(blob):
+            break
+        last_type, last_frame = et, blob[pos : pos + size]
+        pos += size
+    if last_type == EventType.ROTATE_EVENT:
+        next_file, next_pos = parse_rotate(last_frame[19:-4])
+        return next_file, max(4, int(next_pos))
+    return last, 4
+
+
 def tail_binlog_to_segments(
     out_dir: str,
     *,
@@ -136,9 +171,15 @@ def tail_binlog_to_segments(
     stop_file: Optional[str] = None,
     stop_position: Optional[int] = None,
     server_id: int = 1,
+    resume: bool = False,
 ) -> list[SegmentManifest]:
     """Connect, dump, tail into ``out_dir``; returns segment manifests.
-    The written segments feed ``pipelines.ingest.read_segments``."""
+    The written segments feed ``pipelines.ingest.read_segments``.
+    ``resume=True`` restarts after the last closed segment in
+    ``out_dir`` (a crashed tailer's half-written temp files are never
+    visible — segments close via atomic rename)."""
+    if resume:
+        start_file, start_position = resume_point(out_dir, start_file)
     conn = MysqlConnection(host=host, port=port, user=user, password=password, use_tls=use_tls)
     tailer = BinlogTailer(
         conn=conn,

@@ -179,3 +179,34 @@ def test_caching_sha2_full_auth_refused_without_tls(fixture_paths, tls_cert):
     ) as srv:
         with pytest.raises(MysqlError, match="full authentication requires TLS"):
             MysqlConnection(port=srv.port, user="repl", password="secret").connect()
+
+
+def test_tail_resume_after_interrupt(replay, fixture_paths, tmp_path):
+    """A restarted tailer with resume=True re-tails a PARTIAL last
+    segment from its start, and continues from the rotate target when
+    the last segment is complete."""
+    from myzql_binlog_connector_ray.sources.binlog_tail import resume_point
+
+    out_dir = str(tmp_path / "resumed")
+    # phase 1: stop mid-segment-1 (partial segment on disk)
+    m1 = tail_binlog_to_segments(
+        out_dir, port=replay.port, user="repl", password="secret",
+        start_file="binlog.000001", stop_file="binlog.000001", stop_position=None,
+    )
+    assert [m.segment for m in m1] == ["binlog.000001"]
+    src = os.path.join(os.path.dirname(fixture_paths["segment_paths"][0]), "binlog.000001")
+    assert os.path.getsize(m1[0].path) < os.path.getsize(src)  # partial
+    # partial last segment → re-dump the same file from its start
+    assert resume_point(out_dir) == ("binlog.000001", 4)
+    # phase 2: resume re-tails 000001 fully (atomic overwrite) + the rest
+    m2 = tail_binlog_to_segments(
+        out_dir, port=replay.port, user="repl", password="secret", resume=True,
+    )
+    assert m2[0].segment == "binlog.000001"
+    originals = {os.path.basename(p) for p in fixture_paths["segment_paths"]}
+    assert originals <= set(os.listdir(out_dir))
+    with open(src, "rb") as a, open(os.path.join(out_dir, "binlog.000001"), "rb") as b:
+        assert a.read() == b.read()  # the partial file was healed
+    # complete last segment (ends in ROTATE) → resume from its target
+    nxt, pos = resume_point(out_dir)
+    assert pos == 4 and nxt > sorted(os.listdir(out_dir))[-1]

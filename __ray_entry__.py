@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": api.simhash_dup_pairs,
         "events_order_value_range_join": api.events_order_value_range_join,
         "events_hopping_window": api.events_hopping_window,
+        "documents_hash_sample": api.documents_hash_sample,
     }
 
 
@@ -395,6 +396,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_value
             FROM events GROUP BY user_id, window_start
+        """,
+        "documents_hash_sample": """
+            SELECT doc_id, lang,
+                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 50 AS in_half
+            FROM documents
+            WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 10
         """,
         "events_hopping_window": """
             SELECT user_id,

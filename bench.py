@@ -34,7 +34,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "400"))
 NUM_SEGMENTS = int(os.environ.get("GRAFT_BENCH_SEGMENTS", "32"))
-NUM_PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "64"))
+# partitions should scale with DATA (bounded keys per apply task), not
+# stay fixed: at the 16M-key scale 64 partitions left the apply
+# straggler-bound in 2 coarse waves (25-45s); 128 rebalanced it to ~10s
+NUM_PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "128"))
 
 
 def run_bench() -> dict:

@@ -146,18 +146,18 @@ def dedup_exact(sf_dir: str):
     The text column is dropped before the groupby so the shuffle ships
     only (hash, doc_id) pairs.
     """
+    from .functions.agg import combiner_aggregate
+
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
     dup = ds.map_batches(
         lambda t: t.set_column(0, "doc_id", pa.compute.add(t["doc_id"], 1_000_000)),
         batch_format="pyarrow",
     )
-    from ray.data.aggregate import Min
-
     both = ds.union(dup)
     hashed = both.map_batches(add_content_hash, batch_format="pyarrow").select_columns(
         ["doc_id", "content_hash"]
     )
-    kept = hashed.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    kept = combiner_aggregate(hashed, ["content_hash"], [("doc_id", "min", "doc_id")])
     return kept.select_columns(["doc_id"])
 
 
@@ -251,8 +251,10 @@ def _minhash_pairs(corpus, concurrency=None, max_bucket_ids: int = 4096):
     collect of the pair set).
 
     Exactly TWO shuffles, no mid-pipeline materialization:
-      1. ``groupby(band, band_hash).aggregate(Unique(doc_id))`` buckets
-         docs per LSH key and carries each bucket's id list;
+      1. ``combiner_collect_distinct`` buckets docs per LSH key and
+         carries each bucket's id list (block-local distinct, coarse
+         ``_part`` exchange, vectorized per-partition re-distinct —
+         see functions/agg.py);
       2. a vectorized expansion emits the bucket's pairs (size-2 — the
          common case — is (min, max); ≥3 is all-pairs, degrading to
          star pairs via the bucket's min-id representative past
@@ -261,12 +263,10 @@ def _minhash_pairs(corpus, concurrency=None, max_bucket_ids: int = 4096):
     Round 1 ran map_groups over every bucket (~16k tiny pandas groups);
     round 2's first cut used 4 barriers + a driver collect of hot keys —
     both dominated by fixed per-stage latency at small scale."""
-    from ray.data.aggregate import Unique
+    from .functions.agg import combiner_collect_distinct
 
     bands = corpus.map_batches(_task_stage(MinHasher), batch_format="pyarrow")
-    buckets = bands.groupby(["band", "band_hash"]).aggregate(
-        Unique("doc_id", alias_name="ids")
-    )
+    buckets = combiner_collect_distinct(bands, ["band", "band_hash"], "doc_id", "ids")
 
     def expand_pairs(t: pa.Table) -> pa.Table:
         a_out: list[int] = []
@@ -289,8 +289,10 @@ def _minhash_pairs(corpus, concurrency=None, max_bucket_ids: int = 4096):
                         b_out.append(ids[j])
         return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
 
+    from .functions.agg import combiner_aggregate
+
     pairs = buckets.map_batches(expand_pairs, batch_format="pyarrow")
-    deduped = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_nbands"))
+    deduped = combiner_aggregate(pairs, ["a", "b"], [(None, "count", "_nbands")])
     return deduped.select_columns(["a", "b"])
 
 
@@ -475,14 +477,17 @@ def lineitem_pricing_summary(sf_dir: str):
     )
 
 
-def revenue_by_brand(sf_dir: str, *, concurrency=(1, 2)):
-    """Broadcast join: part (small side, ray.put once) probed per batch."""
+def revenue_by_brand(sf_dir: str, *, concurrency=(1, 4)):
+    """Broadcast join: part (small side, ray.put once as an Arrow table)
+    probed per batch with a zero-shuffle Acero hash join, then a
+    per-batch partial aggregate so the only exchange ships ≤ |brands|
+    rows per block (the 100 TB combiner shape)."""
     from .functions.relational import BroadcastJoiner
 
-    part_df = pq.read_table(
+    part_t = pq.read_table(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
-    ).to_pandas().rename(columns={"p_partkey": "l_partkey"})
-    ref = ray.put(part_df)
+    ).rename_columns(["l_partkey", "p_brand"])
+    ref = ray.put(part_t)
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -494,11 +499,17 @@ def revenue_by_brand(sf_dir: str, *, concurrency=(1, 2)):
     joined = ds.map_batches(
         BroadcastJoiner,
         fn_constructor_kwargs=dict(small_ref=ref, on="l_partkey"),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=concurrency,
     )
-    return joined.groupby("p_brand").aggregate(
-        Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
+
+    def partial_agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("p_brand").aggregate([("rev_cents", "sum"), ("rev_cents", "count")])
+        return g.rename_columns(["p_brand", "rev_p", "n_p"])
+
+    partials = joined.map_batches(partial_agg, batch_format="pyarrow")
+    return partials.groupby("p_brand").aggregate(
+        Sum("rev_p", alias_name="revenue_cents"), Sum("n_p", alias_name="n_items")
     )
 
 
@@ -600,14 +611,36 @@ def asof_last_event_per_order(sf_dir: str, *, num_buckets: int = 8):
 
 
 def events_tumbling_window(sf_dir: str, *, window_sec: int = 3600):
-    """Per-user tumbling windows over the events stream (count + cents sum)."""
-    from .functions.relational import tumbling_window_agg
+    """Per-user tumbling windows over the events stream (count + cents
+    sum). A tumbling count/sum is an associative aggregate on
+    (user, window), so the scale shape is window-stamp + block-local
+    combine (events arrive roughly time-clustered, so a block holds few
+    distinct windows) + one small groupby — never a per-user
+    ``map_groups`` that assumes a user's whole history fits one task
+    (the generic ordered-window operator for non-associative logic
+    remains ``functions.relational.tumbling_window_agg``)."""
+
+    from .functions.agg import combiner_aggregate
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"])
-    ds = ds.map_batches(lambda t: _cents(t, "value", "value_cents"), batch_format="pyarrow")
-    return ds.groupby("user_id").map_groups(
-        partial(tumbling_window_agg, time_col="ts", window_sec=window_sec, value_col="value_cents", key_col="user_id"),
-        batch_format="pandas",
+
+    def stamp(t: pa.Table) -> pa.Table:
+        sec = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        win = (sec // window_sec) * window_sec
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": pa.array(win, pa.int64()),
+                "value_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow")
+    return combiner_aggregate(
+        stamped,
+        ["user_id", "window_start"],
+        [(None, "count", "n_events"), ("value_cents", "sum", "total_value")],
     )
 
 
@@ -623,15 +656,33 @@ def events_sessionize(sf_dir: str, *, gap_sec: int = 1800):
 
 
 def top_revenue_orders(sf_dir: str, *, k: int = 10):
-    """Sort/top-k: pre-aggregate revenue per order, global top-k."""
+    """Sort/top-k: block-local combine (lineitem is clustered by
+    orderkey, so per-block partial sums shrink the exchange ~4x), a
+    small per-order aggregate, then per-block top-k candidates so the
+    final sort ranks ≤ k·#blocks rows instead of every order."""
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
     ds = ds.map_batches(lambda t: _cents(t, "l_extendedprice", "rev_cents", "l_discount"), batch_format="pyarrow")
-    per_order = ds.groupby("l_orderkey").aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+
+    from .functions.agg import combiner_aggregate
+
+    per_order = combiner_aggregate(
+        ds, ["l_orderkey"], [("rev_cents", "sum", "revenue_cents")]
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            t, sort_keys=[("revenue_cents", "descending"), ("l_orderkey", "ascending")]
+        )
+        return t.take(idx.slice(0, k))
+
+    cand = per_order.map_batches(local_topk, batch_format="pyarrow")
     # orderkey tiebreak keeps the top-k deterministic under revenue ties
-    top = per_order.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(k).to_pandas()
+    top = cand.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(k).to_pandas()
     top = top.rename(columns={"l_orderkey": "o_orderkey"})
     top["rk"] = range(1, len(top) + 1)
     return top[["rk", "o_orderkey", "revenue_cents"]]
@@ -719,10 +770,13 @@ def minhash_dup_verified(
     - "broadcast" (default): candidate pairs are the SMALL side by
       construction (bounded by dup clusters, not corpus size) — they
       broadcast once via ``ray.put``; the per-doc gram sets stream
-      through a tagging ``map_batches`` (no shuffle) and ONE
-      ``groupby(pair)`` custom aggregate reunites the two members and
-      computes Jaccard inside the reduce. Text never crosses the
-      exchange; only candidate members' gram sets do.
+      through a tagging ``map_batches`` (no shuffle) and ONE coarse
+      exchange on ``_part = pair % P`` reunites both members of every
+      pair in a single partition task, where Jaccard is computed over
+      the whole partition at once (sorting by a small int beats Ray's
+      per-key aggregate machinery at high pair cardinality). Text
+      never crosses the exchange; only candidate members' gram sets
+      do.
     - "bucket_join": fully shuffle-based fallback for the regime where
       even the candidate set is too big to broadcast — two bucketed
       hash joins (functions.relational.bucket_lookup_join) attach the
@@ -765,34 +819,40 @@ def minhash_dup_verified(
             }
         )
 
-    from ray.data.aggregate import AggregateFn
-
-    jac_agg = AggregateFn(
-        init=lambda k: [],
-        accumulate_row=lambda acc, row: acc + [(row["role"], list(row["gram_set"]))],
-        merge=lambda l, r: l + r,
-        finalize=lambda acc: (
-            jaccard_from_sets(acc[0][1], acc[1][1]) if len(acc) == 2 else -1.0
-        ),
-        name="jaccard",
-    )
-    jac = gsets.map_batches(tag, batch_format="pyarrow").groupby("pair").aggregate(jac_agg)
-
     a_arr, b_arr = a_ids, b_ids
+    num_parts = 32
 
-    def finish(t: pa.Table) -> pa.Table:
-        pis = t["pair"].to_pylist()
-        js = t["jaccard"].to_pylist()
-        keep = [i for i, j in enumerate(js) if j >= threshold]
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t["pair"].to_numpy(zero_copy_only=False) % num_parts).astype(np.int32)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def jac_part(g: pa.Table) -> pa.Table:
+        acc: dict[int, dict[int, list[int]]] = {}
+        for p, r, s in zip(
+            g["pair"].to_pylist(), g["role"].to_pylist(), g["gram_set"].to_pylist()
+        ):
+            acc.setdefault(p, {})[r] = s
+        out_a, out_b, out_j = [], [], []
+        for p, d in acc.items():
+            if len(d) != 2:
+                continue
+            j = jaccard_from_sets(d[0], d[1])
+            if j >= threshold:
+                out_a.append(a_arr[p])
+                out_b.append(b_arr[p])
+                out_j.append(round(j, 6))
         return pa.table(
             {
-                "a": pa.array([a_arr[pis[i]] for i in keep], pa.int64()),
-                "b": pa.array([b_arr[pis[i]] for i in keep], pa.int64()),
-                "jaccard": pa.array([round(js[i], 6) for i in keep], pa.float64()),
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
             }
         )
 
-    return jac.map_batches(finish, batch_format="pyarrow")
+    tagged = gsets.map_batches(tag, batch_format="pyarrow").map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    return tagged.groupby("_part").map_groups(jac_part, batch_format="pyarrow")
 
 
 def _verified_bucket_join(pairs, gsets, threshold: float, num_partitions: int):
@@ -880,7 +940,7 @@ def corpus_curation_stats(sf_dir: str, *, min_tokens: int = 30):
     are on (content_hash) — shipping 4 small columns, never text — and
     on the tiny lang_pred aggregate.
     """
-    from ray.data.aggregate import Min
+    from .functions.agg import combiner_aggregate
 
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
     dup = ds.map_batches(
@@ -897,10 +957,14 @@ def corpus_curation_stats(sf_dir: str, *, min_tokens: int = 30):
     hashed = kept.map_batches(add_content_hash, batch_format="pyarrow").select_columns(
         ["doc_id", "content_hash", "lang_pred", "n_tokens"]
     )
-    uniq = hashed.groupby("content_hash").aggregate(
-        Min("doc_id", alias_name="doc_id"),
-        Min("lang_pred", alias_name="lang_pred"),
-        Min("n_tokens", alias_name="n_tokens"),
+    uniq = combiner_aggregate(
+        hashed,
+        ["content_hash"],
+        [
+            ("doc_id", "min", "doc_id"),
+            ("lang_pred", "min", "lang_pred"),
+            ("n_tokens", "min", "n_tokens"),
+        ],
     )
     return uniq.groupby("lang_pred").aggregate(
         Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
@@ -961,12 +1025,11 @@ def simhash_dup_pairs(sf_dir: str, *, bands: int = 6, band_bits: int = 10, max_h
             }
         )
 
+    from .functions.agg import combiner_aggregate
+
     cand = hashed.map_batches(band_rows, batch_format="pyarrow")
     pairs = cand.groupby(["band", "key"]).map_groups(emit_pairs, batch_format="pyarrow")
-    from ray.data.aggregate import Min
-
-    deduped = pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
-    return deduped
+    return combiner_aggregate(pairs, ["a", "b"], [("hamming", "min", "hamming")])
 
 
 def events_order_value_range_join(sf_dir: str):
@@ -1083,9 +1146,13 @@ def events_hopping_window(sf_dir: str, *, window_sec: int = 3600, hop_sec: int =
             }
         )
 
+    from .functions.agg import combiner_aggregate
+
     fanned = ds.map_batches(fan_out, batch_format="pyarrow")
-    return fanned.groupby(["user_id", "window_start"]).aggregate(
-        Count(alias_name="n_events"), Sum("value_cents", alias_name="total_value")
+    return combiner_aggregate(
+        fanned,
+        ["user_id", "window_start"],
+        [(None, "count", "n_events"), ("value_cents", "sum", "total_value")],
     )
 
 

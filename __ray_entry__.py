@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_order_value_range_join": api.events_order_value_range_join,
         "events_hopping_window": api.events_hopping_window,
         "documents_hash_sample": api.documents_hash_sample,
+        "events_value_percentiles": api.events_value_percentiles,
+        "top_orders_per_priority": api.top_orders_per_priority,
     }
 
 
@@ -595,5 +597,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup_pairs": """
             SELECT vec_id AS a, vec_id + 1000000 AS b FROM embeddings
+        """,
+        "events_value_percentiles": """
+            SELECT CAST(0.5 AS DOUBLE) AS pct, quantile_disc(value, 0.5) AS value FROM events
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events
+            UNION ALL
+            SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events
+        """,
+        "top_orders_per_priority": """
+            SELECT o_orderpriority, rk, o_orderkey, revenue_cents FROM (
+              SELECT o_orderpriority, o_orderkey, revenue_cents,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY revenue_cents DESC, o_orderkey
+                     ) AS rk
+              FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY o_orderpriority, o_orderkey
+              )
+            ) WHERE rk <= 3
         """,
     }

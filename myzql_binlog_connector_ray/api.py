@@ -1156,6 +1156,122 @@ def events_hopping_window(sf_dir: str, *, window_sec: int = 3600, hop_sec: int =
     )
 
 
+def events_value_percentiles(sf_dir: str, *, qs=(0.5, 0.9, 0.99), bin_width: float = 0.25):
+    """EXACT distributed percentiles over a numeric column — the
+    two-pass histogram shape that holds at 10^10 rows:
+
+    pass 1: bin every value (``floor(v / bin_width)``) and count per
+    bin via the combiner tree — the exchange ships one (bin, count)
+    partial per block-bin; the driver sees only the histogram (bounded
+    by the value domain / bin_width, never by row count). Cumulative
+    counts locate, for each q, the bin holding ascending rank
+    ``ceil(q·n) − 1`` (DuckDB quantile_disc's rule) and the in-bin
+    offset.
+
+    pass 2: re-scan only the few target bins (a ``1/#bins`` sliver;
+    with a skewed domain, recurse by re-binning the sliver — not needed
+    at fixture scale, asserted instead) and select each offset from
+    the bin's sorted values.
+    """
+    import math
+
+    from .functions.agg import combiner_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+
+    def binify(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"bin": pa.array(np.floor(v / bin_width).astype(np.int64), pa.int64())})
+
+    hist = (
+        combiner_aggregate(ds.map_batches(binify, batch_format="pyarrow"), ["bin"], [(None, "count", "n")])
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    total = int(hist["n"].sum())
+    cum_before = hist["n"].cumsum().shift(fill_value=0).to_numpy()
+    bins = hist["bin"].to_numpy()
+    targets = {}  # bin -> [(q, offset_within_bin)]
+    for q in qs:
+        rank = math.ceil(q * total) - 1  # 0-based ascending
+        i = int(np.searchsorted(cum_before, rank, side="right")) - 1
+        targets.setdefault(int(bins[i]), []).append((q, rank - int(cum_before[i])))
+
+    wanted = pa.array(sorted(targets), pa.int64())
+
+    def keep_wanted(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / bin_width).astype(np.int64)
+        mask = pa.compute.is_in(pa.array(b, pa.int64()), value_set=wanted)
+        return pa.table(
+            {"bin": pa.array(b, pa.int64()).filter(mask), "value": t["value"].filter(mask)}
+        )
+
+    sliver = ds.map_batches(keep_wanted, batch_format="pyarrow").to_pandas()
+    out_q, out_v = [], []
+    for b, picks in targets.items():
+        vals = np.sort(sliver.loc[sliver["bin"] == b, "value"].to_numpy())
+        for q, off in picks:
+            out_q.append(q)
+            out_v.append(float(vals[off]))
+    return pa.table({"pct": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())})
+
+
+def top_orders_per_priority(sf_dir: str, *, k: int = 3, num_buckets: int = 16):
+    """Grouped top-k (windowed ranking): the k highest-revenue orders
+    within each order priority. Scale shape: per-order revenue via the
+    combiner tree, a partitioned hash join to attach the priority, then
+    block-local top-k per priority (each block forwards ≤ k·|priorities|
+    candidate rows) and a final per-priority rank — the full per-order
+    ranking is never globally sorted."""
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    lineitem = lineitem.map_batches(
+        lambda t: _cents(t, "l_extendedprice", "rev_cents", "l_discount").select(
+            ["l_orderkey", "rev_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    from .functions.agg import combiner_aggregate
+
+    per_order = combiner_aggregate(lineitem, ["l_orderkey"], [("rev_cents", "sum", "revenue_cents")])
+    joined = orders.join(
+        per_order,
+        join_type="inner",
+        num_partitions=num_buckets,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.select(["o_orderpriority", "o_orderkey", "revenue_cents"]).to_pandas()
+        df = df.sort_values(
+            ["o_orderpriority", "revenue_cents", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        return pa.Table.from_pandas(df.groupby("o_orderpriority").head(k), preserve_index=False)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            g, sort_keys=[("revenue_cents", "descending"), ("o_orderkey", "ascending")]
+        )
+        top = g.take(idx.slice(0, k))
+        return top.append_column("rk", pa.array(np.arange(1, len(top) + 1), pa.int64()))
+
+    cand = joined.map_batches(local_topk, batch_format="pyarrow")
+    ranked = cand.groupby("o_orderpriority").map_groups(rank_group, batch_format="pyarrow")
+    return ranked.select_columns(["o_orderpriority", "rk", "o_orderkey", "revenue_cents"])
+
+
 def documents_hash_sample(sf_dir: str, *, percent: int = 10):
     """Deterministic hash sampling — the reproducible-at-scale sampling
     primitive (same rows on every run / cluster size, no RNG state to

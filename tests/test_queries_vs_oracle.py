@@ -92,6 +92,8 @@ SQL_CHECKED = [
     "events_order_value_range_join",  # binned interval join, inequality-only predicate
     "events_hopping_window",  # overlapping windows via vectorized fan-out
     "documents_hash_sample",  # deterministic md5 sampling, nested rates
+    "events_value_percentiles",  # exact two-pass histogram quantiles
+    "top_orders_per_priority",  # grouped top-k (windowed ranking)
 ]
 
 ROWS_ONLY = [

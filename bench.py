@@ -172,6 +172,8 @@ def run_bench() -> dict:
         timed("events_sessionize", api.events_sessionize)
         timed("corpus_curation_stats", api.corpus_curation_stats)
         timed("simhash_dup_pairs", api.simhash_dup_pairs)
+        timed("events_value_percentiles", api.events_value_percentiles)
+        timed("top_orders_per_priority", api.top_orders_per_priority)
 
     queries["ingest"] = round(ingest_sec, 4)
     if envelope_sec is not None:

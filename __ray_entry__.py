@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_hash_sample": api.documents_hash_sample,
         "events_value_percentiles": api.events_value_percentiles,
         "top_orders_per_priority": api.top_orders_per_priority,
+        "top_tokens": api.top_tokens,
     }
 
 
@@ -619,5 +620,15 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY o_orderpriority, o_orderkey
               )
             ) WHERE rk <= 3
+        """,
+        "top_tokens": """
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rk, token, n
+            FROM (
+              SELECT token, count(*) AS n FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+              ) GROUP BY token
+            )
+            QUALIFY rk <= 20
         """,
     }

@@ -1272,6 +1272,49 @@ def top_orders_per_priority(sf_dir: str, *, k: int = 3, num_buckets: int = 16):
     return ranked.select_columns(["o_orderpriority", "rk", "o_orderkey", "revenue_cents"])
 
 
+def top_tokens(sf_dir: str, *, k: int = 20):
+    """Distributed word count + global top-k (the canonical vocabulary
+    build): lowercase whitespace tokens, per-block arrow value_counts
+    (the combiner — a block ships one partial per distinct token, so
+    the exchange is bounded by vocabulary size, not token count), a
+    coarse-part reduce, block-local top-k candidates, tiny final sort."""
+    import pyarrow.compute as pc
+
+    from .functions.agg import combiner_aggregate
+
+    ds = _docs_ds(sf_dir, ["text"])
+
+    def tokenize_count(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+")
+        flat = pc.list_flatten(toks)
+        vc = flat.combine_chunks().value_counts() if isinstance(flat, pa.ChunkedArray) else flat.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n_p": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = combiner_aggregate(
+        ds.map_batches(tokenize_count, batch_format="pyarrow"),
+        ["token"],
+        [("n_p", "sum", "n")],
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"), ("token", "ascending")])
+        return t.take(idx.slice(0, k))
+
+    top = (
+        counts.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top.insert(0, "rk", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top[["rk", "token", "n"]]
+
+
 def documents_hash_sample(sf_dir: str, *, percent: int = 10):
     """Deterministic hash sampling — the reproducible-at-scale sampling
     primitive (same rows on every run / cluster size, no RNG state to

@@ -94,6 +94,7 @@ SQL_CHECKED = [
     "documents_hash_sample",  # deterministic md5 sampling, nested rates
     "events_value_percentiles",  # exact two-pass histogram quantiles
     "top_orders_per_priority",  # grouped top-k (windowed ranking)
+    "top_tokens",  # distributed word count + global top-k
 ]
 
 ROWS_ONLY = [

@@ -980,7 +980,11 @@ def simhash_dup_pairs(sf_dir: str, *, bands: int = 6, band_bits: int = 10, max_h
     measured Hamming 0–11 for the copies vs ≥ 8 for unrelated pairs).
 
     Scale shape: the only shuffles move (band, key, doc_id, simhash) —
-    16 B/doc/band — and the tiny verified pair set.
+    16 B/doc/band — and the tiny verified pair set. Buckets are walked
+    inside coarse ``_part`` partitions (vectorized lexsort + boundary
+    scan), never via per-key ``map_groups`` — Ray's per-key machinery
+    degrades with the ~#docs×bands bucket cardinality (see
+    functions/agg.py).
     """
     corpus = _dup_corpus(sf_dir)
     hashed = corpus.map_batches(_task_stage(SimHasher), batch_format="pyarrow").select_columns(
@@ -1005,18 +1009,30 @@ def simhash_dup_pairs(sf_dir: str, *, bands: int = 6, band_bits: int = 10, max_h
             }
         )
 
-    def emit_pairs(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_pylist()
-        hs = g["simhash"].to_pylist()
-        seen = sorted(set(zip(ids, hs)))
+    def emit_pairs_part(g: pa.Table) -> pa.Table:
+        """One coarse partition: lexsort by (band, key), walk bucket
+        boundaries, emit verified pairs per bucket."""
+        band = g["band"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        hs = g["simhash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key, band))
+        band, key, ids, hs = band[order], key[order], ids[order], hs[order]
+        starts = np.flatnonzero(np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])])
+        ends = np.r_[starts[1:], len(band)]
         a_out, b_out, d_out = [], [], []
-        for i in range(len(seen)):
-            for j in range(i + 1, len(seen)):
-                d = bin(seen[i][1] ^ seen[j][1]).count("1")
-                if d <= max_hamming:
-                    a_out.append(seen[i][0])
-                    b_out.append(seen[j][0])
-                    d_out.append(d)
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            # a doc appears once per band, so rows in a bucket are
+            # distinct docs already; iterate the (usually tiny) bucket
+            for i in range(s, e):
+                for j in range(i + 1, e):
+                    d = int(hs[i] ^ hs[j]).bit_count()
+                    if d <= max_hamming:
+                        a_out.append(int(ids[i]))
+                        b_out.append(int(ids[j]))
+                        d_out.append(d)
         return pa.table(
             {
                 "a": pa.array(a_out, pa.int64()),
@@ -1025,10 +1041,16 @@ def simhash_dup_pairs(sf_dir: str, *, bands: int = 6, band_bits: int = 10, max_h
             }
         )
 
-    from .functions.agg import combiner_aggregate
+    from .functions.agg import combiner_aggregate, hash_part
 
-    cand = hashed.map_batches(band_rows, batch_format="pyarrow")
-    pairs = cand.groupby(["band", "key"]).map_groups(emit_pairs, batch_format="pyarrow")
+    def add_part(t: pa.Table) -> pa.Table:
+        part = hash_part(t, ["band", "key"], 32)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    cand = hashed.map_batches(band_rows, batch_format="pyarrow").map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    pairs = cand.groupby("_part").map_groups(emit_pairs_part, batch_format="pyarrow")
     return combiner_aggregate(pairs, ["a", "b"], [("hamming", "min", "hamming")])
 
 

@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentiles": api.events_value_percentiles,
         "top_orders_per_priority": api.top_orders_per_priority,
         "top_tokens": api.top_tokens,
+        "distinct_users_per_day": api.distinct_users_per_day,
     }
 
 
@@ -630,5 +631,10 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY token
             )
             QUALIFY rk <= 20
+        """,
+        "distinct_users_per_day": """
+            SELECT CAST((epoch_us(ts) // 1000000 // 86400) * 86400 AS BIGINT) AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY day
         """,
     }

@@ -1337,6 +1337,34 @@ def top_tokens(sf_dir: str, *, k: int = 20):
     return top[["rk", "token", "n"]]
 
 
+def distinct_users_per_day(sf_dir: str):
+    """Exact distributed COUNT(DISTINCT): unique active users per UTC
+    day over the events stream. Scale shape: block-local (day, user)
+    dedup is the combiner (a block ships each pair once), the coarse
+    exchange dedups pairs globally, then a per-day count — the classic
+    two-level distinct that never collects a user set anywhere."""
+    from .functions.agg import combiner_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        sec = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        day = (sec // 86400) * 86400
+        pairs = pa.table(
+            {"day": pa.array(day, pa.int64()), "user_id": t["user_id"]}
+        )
+        g = pairs.group_by(["day", "user_id"]).aggregate([])
+        return g
+
+    uniq = combiner_aggregate(
+        ds.map_batches(day_pairs, batch_format="pyarrow"),
+        ["day", "user_id"],
+        [(None, "count", "_n")],
+    )
+    per_day = combiner_aggregate(uniq, ["day"], [(None, "count", "n_users")], num_parts=8)
+    return per_day
+
+
 def documents_hash_sample(sf_dir: str, *, percent: int = 10):
     """Deterministic hash sampling — the reproducible-at-scale sampling
     primitive (same rows on every run / cluster size, no RNG state to

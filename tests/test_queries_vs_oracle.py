@@ -95,6 +95,7 @@ SQL_CHECKED = [
     "events_value_percentiles",  # exact two-pass histogram quantiles
     "top_orders_per_priority",  # grouped top-k (windowed ranking)
     "top_tokens",  # distributed word count + global top-k
+    "distinct_users_per_day",  # exact two-level COUNT(DISTINCT)
 ]
 
 ROWS_ONLY = [

@@ -37,7 +37,6 @@ from .functions.text import LanguageId, QualityScorer, add_fingerprint, token_co
 from .pipelines.ingest import (
     FINAL_COLUMNS,
     apply_changes,
-    auto_concurrency,
     decode_envelope,
     decode_typed,
     init_lake,

@@ -56,23 +56,34 @@ def combiner_aggregate(
 
     ``specs``: ``(src_col, kind, out_name)`` with kind in
     {sum, count, min, max}; ``src_col=None`` for count means "count
-    rows" (counted on the first key column, which is never null in a
-    group key). Output columns: ``keys + [out_name, ...]``.
+    rows" (implemented as sum-of-ones, so null-valued KEY groups —
+    which pyarrow's group_by does emit — still count their rows).
+    Output columns: ``keys + [out_name, ...]``.
     """
     for _, kind, _ in specs:
         if kind not in _KINDS:
             raise ValueError(f"unsupported aggregate kind: {kind}")
 
     internal = [f"_p{i}" for i in range(len(specs))]
+    # per-spec (block fn, reduce fn): a row count is sum(1) at the block
+    # level so it never depends on any column's null mask
+    fns = [
+        ("sum", "sum") if (src is None and kind == "count") else _KINDS[kind]
+        for src, kind, _ in specs
+    ]
 
     def combine(t: pa.Table) -> pa.Table:
         # copy each source into a unique temp column so duplicate
         # (col, fn) pairs can't collide in arrow's output naming
         cols = {k: t[k] for k in keys}
         for n, (src, _kind, _out) in zip(internal, specs):
-            cols[n] = t[src if src is not None else keys[0]]
+            cols[n] = (
+                t[src]
+                if src is not None
+                else pa.array(np.ones(len(t), dtype=np.int64))
+            )
         g = pa.table(cols).group_by(keys).aggregate(
-            [(n, _KINDS[kind][0]) for n, (_src, kind, _out) in zip(internal, specs)]
+            [(n, fn) for n, (fn, _r) in zip(internal, fns)]
         )
         g = g.rename_columns(keys + internal)
         part = hash_part(g, keys, num_parts)
@@ -80,7 +91,7 @@ def combiner_aggregate(
 
     def reduce_part(g: pa.Table) -> pa.Table:
         out = g.group_by(keys).aggregate(
-            [(n, _KINDS[kind][1]) for n, (_, kind, _o) in zip(internal, specs)]
+            [(n, fn) for n, (_b, fn) in zip(internal, fns)]
         )
         return out.rename_columns(keys + [o for _, _, o in specs])
 

@@ -45,18 +45,33 @@ class BroadcastJoiner:
                 small_ref = ray.get(small_ref)
         except Exception:
             pass
-        self.small = small_ref
-        self.small_arrow = (
-            small_ref if isinstance(small_ref, pa.Table) else pa.Table.from_pandas(small_ref)
+        # keep ONE canonical copy; convert lazily per batch format so an
+        # arrow-only (or pandas-only) pipeline never holds both copies
+        self._small = small_ref
+        self._small_arrow: pa.Table | None = small_ref if isinstance(small_ref, pa.Table) else None
+        self._small_pandas: pd.DataFrame | None = (
+            small_ref if isinstance(small_ref, pd.DataFrame) else None
         )
         self.on = on
         self.how = how
+
+    @property
+    def small_arrow(self) -> pa.Table:
+        if self._small_arrow is None:
+            self._small_arrow = pa.Table.from_pandas(self._small, preserve_index=False)
+        return self._small_arrow
+
+    @property
+    def small_pandas(self) -> pd.DataFrame:
+        if self._small_pandas is None:
+            self._small_pandas = self._small.to_pandas()
+        return self._small_pandas
 
     def __call__(self, batch):
         if isinstance(batch, pa.Table):
             how = {"inner": "inner", "left": "left outer"}.get(self.how, self.how)
             return batch.join(self.small_arrow, keys=self.on, join_type=how)
-        return batch.merge(self.small, on=self.on, how=self.how)
+        return batch.merge(self.small_pandas, on=self.on, how=self.how)
 
 
 def tag_and_bucket(batch: pa.Table, side: str, key: str, num_buckets: int) -> pa.Table:

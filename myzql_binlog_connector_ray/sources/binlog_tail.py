@@ -78,6 +78,25 @@ class BinlogTailer:
 
     # -- stream loop ------------------------------------------------
 
+    def _should_stop(self, log_pos: int) -> bool:
+        """Stop condition, mirroring the reference's per-file semantics
+        (src/binlog_reader.zig:284-297): ``log_pos`` resets in every new
+        binlog file, so it only compares against ``stop_position`` while
+        the stream is IN ``stop_file``; once the stream rotates PAST
+        ``stop_file`` the tailer stops unconditionally (a blocking dump
+        would otherwise never terminate). A bare ``stop_position`` with
+        no ``stop_file`` applies to the file the stream is currently in.
+        """
+        if self.stop_file is not None:
+            if self._seg_name > self.stop_file:
+                return True
+            if self._seg_name == self.stop_file:
+                return self.stop_position is None or log_pos >= self.stop_position
+            return False
+        if self.stop_position is not None:
+            return log_pos >= self.stop_position
+        return False
+
     def run(self) -> list[SegmentManifest]:
         conn = self.conn
         if conn.io is None:
@@ -112,11 +131,7 @@ class BinlogTailer:
                     continue
                 self._seg_file.write(frame)
                 self._seg_events += 1
-                if (
-                    self.stop_file is not None
-                    and self._seg_name >= self.stop_file
-                    and (self.stop_position is None or log_pos >= self.stop_position)
-                ):
+                if self._should_stop(log_pos):
                     break
         finally:
             self._close_segment()

@@ -93,3 +93,25 @@ def test_combiner_collect_distinct(skewed_ds):
     want = t.group_by("k").aggregate([("v", "distinct")]).to_pandas()
     want_sets = {int(r.k): frozenset(r.v_distinct) for r in want.itertuples()}
     assert got_sets == want_sets
+
+
+def test_combiner_count_with_null_keys(ray_session):
+    """Row count is sum-of-ones, so null-KEY groups count their rows
+    (counting non-nulls of keys[0] would report 0 for the null group)."""
+    import ray
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", None, None, "b", "a"], pa.string()),
+            "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    got = (
+        combiner_aggregate(ds, ["k"], [(None, "count", "n"), ("v", "sum", "s")], num_parts=4)
+        .to_pandas()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert got["n"].tolist() == [2, 1, 2]
+    assert got["s"].tolist() == [6, 4, 5]

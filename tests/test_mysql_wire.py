@@ -117,6 +117,44 @@ def test_tail_stop_position(replay, fixture_paths, tmp_path):
     assert manifests[0].events >= 1
 
 
+def test_tail_stop_file_past_rotation(replay, fixture_paths, tmp_path):
+    """Once the stream rotates PAST stop_file, the tailer stops
+    unconditionally — log_pos resets per file, so a large stop_position
+    must not make it overshoot into later files (reference semantics,
+    src/binlog_reader.zig:284-297)."""
+    out_dir = str(tmp_path / "tailed_past")
+    manifests = tail_binlog_to_segments(
+        out_dir,
+        port=replay.port,
+        user="repl",
+        password="secret",
+        start_file="binlog.000001",
+        stop_file="binlog.000001",
+        stop_position=1 << 40,  # beyond any position in stop_file
+    )
+    # stops at the first event of the file AFTER stop_file: at most one
+    # segment beyond stop_file may be opened, never tailed to its end
+    names = [m.segment for m in manifests]
+    assert names[0] == "binlog.000001"
+    assert all(n <= "binlog.000002" for n in names)
+
+
+def test_tail_stop_position_without_file(replay, fixture_paths, tmp_path):
+    """A bare stop_position (no stop_file) applies to the current file
+    instead of being ignored."""
+    out_dir = str(tmp_path / "tailed_barepos")
+    manifests = tail_binlog_to_segments(
+        out_dir,
+        port=replay.port,
+        user="repl",
+        password="secret",
+        start_file="binlog.000001",
+        stop_position=1,
+    )
+    assert [m.segment for m in manifests] == ["binlog.000001"]
+    assert manifests[0].events >= 1
+
+
 def test_packet_framing_16mb_continuation():
     """Payloads ≥ 16 MB split into 0xFFFFFF chunks + terminator; exact
     16 MB needs a trailing empty packet (protocol edge case)."""

@@ -403,9 +403,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "documents_hash_sample": """
             SELECT doc_id, lang,
-                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 50 AS in_half
+                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 10 AS in_tenth
             FROM documents
-            WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 10
+            WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 50
         """,
         "events_hopping_window": """
             SELECT user_id,

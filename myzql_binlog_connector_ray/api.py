@@ -1076,23 +1076,24 @@ def events_order_value_range_join(sf_dir: str):
     events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
 
     def prep_orders(t: pa.Table) -> pa.Table:
+        # each interval lands in every unit bin it overlaps — expanded
+        # with np.repeat (counts per row), never a per-row Python loop
         r = t["o_totalprice"].to_numpy(zero_copy_only=False) / 1000.0
         lo = r - 1.0
-        pr = t["o_orderpriority"].to_pylist()
-        bins_out, r_out, lo_out, pr_out = [], [], [], []
-        for i in range(len(r)):
-            for b in range(int(np.floor(lo[i])), int(np.floor(r[i])) + 1):
-                bins_out.append(b)
-                r_out.append(r[i])
-                lo_out.append(lo[i])
-                pr_out.append(pr[i])
+        lo_f = np.floor(lo).astype(np.int64)
+        counts = np.floor(r).astype(np.int64) - lo_f + 1
+        idx = np.repeat(np.arange(len(r)), counts)
+        offs = np.arange(int(counts.sum())) - np.repeat(np.cumsum(counts) - counts, counts)
+        prio = t["o_orderpriority"]
+        if isinstance(prio, pa.ChunkedArray):
+            prio = prio.combine_chunks()
         return pa.table(
             {
-                "bin": pa.array(bins_out, pa.int64()),
-                "side": pa.array(["o"] * len(bins_out), pa.string()),
-                "r": pa.array(r_out, pa.float64()),
-                "lo": pa.array(lo_out, pa.float64()),
-                "priority": pa.array(pr_out, pa.string()),
+                "bin": pa.array(lo_f[idx] + offs, pa.int64()),
+                "side": pa.array(np.full(len(idx), "o"), pa.string()),
+                "r": pa.array(r[idx], pa.float64()),
+                "lo": pa.array(lo[idx], pa.float64()),
+                "priority": prio.take(pa.array(idx)),
             }
         )
 
@@ -1364,29 +1365,31 @@ def distinct_users_per_day(sf_dir: str):
     return per_day
 
 
-def documents_hash_sample(sf_dir: str, *, percent: int = 10):
+def documents_hash_sample(sf_dir: str, *, percent: int = 10, outer_percent: int = 50):
     """Deterministic hash sampling — the reproducible-at-scale sampling
     primitive (same rows on every run / cluster size, no RNG state to
-    coordinate): keep rows where md5(doc_id) mod 100 < percent. Also
-    stratified per-language rates via the same kernel: a second column
-    marks membership in a 50 % `half` sample, so downstream can nest
-    samples (half ⊃ tenth) without re-hashing."""
-    import pyarrow.compute as pc
+    coordinate): keep rows where md5(doc_id) mod 100 < outer_percent
+    (the 50 % `half` sample), and flag the nested `tenth`
+    (bucket < percent ⊂ bucket < outer_percent) so downstream can use
+    either rate from ONE hashing pass — the observable nesting round 2
+    lacked (in_half was constant True on the 10 % survivors)."""
 
     ds = _docs_ds(sf_dir, ["doc_id", "lang"])
 
     def sample(t: pa.Table) -> pa.Table:
         import hashlib as _h
 
-        ids = t["doc_id"].to_pylist()
-        bucket = np.array(
-            [int.from_bytes(_h.md5(str(i).encode()).digest()[:4], "big") % 100 for i in ids],
+        # bulk-build the decimal-string bytes (vectorized np.char), md5
+        # per row is the spec (mirrored by the oracle SQL)
+        dec = np.char.mod("%d", t["doc_id"].to_numpy(zero_copy_only=False))
+        md5 = _h.md5
+        bucket = np.fromiter(
+            (int.from_bytes(md5(s.encode()).digest()[:4], "big") % 100 for s in dec),
             dtype=np.int64,
+            count=len(dec),
         )
-        keep = bucket < percent
+        keep = bucket < outer_percent
         out = t.filter(pa.array(keep))
-        return out.append_column(
-            "in_half", pa.array((bucket[keep] < 50), pa.bool_())
-        )
+        return out.append_column("in_tenth", pa.array(bucket[keep] < percent, pa.bool_()))
 
     return ds.map_batches(sample, batch_format="pyarrow")

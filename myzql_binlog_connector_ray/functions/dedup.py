@@ -212,16 +212,33 @@ class MinHasher:
             start = end
         return sigs
 
+    def _band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """All band keys for a signature block, doc-major layout
+        (``out[i*nb + b]`` = band b of doc i). The digest INPUT — the
+        comma-joined decimal encoding of each band's minhash values —
+        is built for the whole batch with vectorized ``np.char`` ops;
+        only the md5 itself runs per (doc, band), which is the spec
+        (see ``band_hash``; equality pinned in tests)."""
+        n = sigs.shape[0]
+        nb, rpb = self.num_bands, self.rows_per_band
+        out = np.empty(n * nb, dtype=np.int64)
+        dec = sigs.astype("U10")  # minhash values < 2^31 → ≤ 10 digits
+        md5 = hashlib.md5
+        for b in range(nb):
+            cols = dec[:, b * rpb : (b + 1) * rpb]
+            s = cols[:, 0]
+            for j in range(1, rpb):
+                s = np.char.add(np.char.add(s, ","), cols[:, j])
+            out[b::nb] = [
+                int.from_bytes(md5(x.encode()).digest()[:8], "big") >> 4 for x in s
+            ]
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         sigs = self._signatures(batch[self.text_col].to_pylist())
-        nb, rpb = self.num_bands, self.rows_per_band
-        hashes = np.empty(len(doc_ids) * nb, dtype=np.int64)
-        for i in range(len(doc_ids)):
-            row = sigs[i]
-            base = i * nb
-            for b in range(nb):
-                hashes[base + b] = band_hash(row[b * rpb : (b + 1) * rpb])
+        nb = self.num_bands
+        hashes = self._band_hashes(sigs)
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(doc_ids, nb), pa.int64()),

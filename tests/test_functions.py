@@ -276,3 +276,18 @@ def test_ann_variants_recall_vs_bruteforce(ray_session):
     # near 0), not tuning drift
     assert lsh_recall >= 0.6, f"LSH recall {lsh_recall}"  # measured 0.8-0.92 w/ multiprobe
     assert ivf_recall >= 0.5, f"IVF recall {ivf_recall}"  # measured 0.84-0.9
+
+
+def test_batched_band_hashes_match_per_call_spec():
+    """MinHasher._band_hashes (vectorized digest-input build) equals the
+    per-band band_hash spec function value-for-value."""
+    from myzql_binlog_connector_ray.functions.dedup import MinHasher, band_hash
+
+    mh = MinHasher(num_perm=64, num_bands=8)
+    texts = ["the quick brown fox jumps over the lazy dog " * 3, "a b c d e f g h i j", ""]
+    sigs = mh._signatures(texts)
+    got = mh._band_hashes(sigs)
+    nb, rpb = mh.num_bands, mh.rows_per_band
+    for i in range(len(texts)):
+        for b in range(nb):
+            assert got[i * nb + b] == band_hash(sigs[i, b * rpb : (b + 1) * rpb])

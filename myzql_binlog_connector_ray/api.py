@@ -643,15 +643,34 @@ def events_tumbling_window(sf_dir: str, *, window_sec: int = 3600):
     )
 
 
-def events_sessionize(sf_dir: str, *, gap_sec: int = 1800):
-    """Per-user sessions (gap > gap_sec starts a new session)."""
-    from .functions.relational import sessionize_group
+def events_sessionize(sf_dir: str, *, gap_sec: int = 1800, num_parts: int = 32):
+    """Per-user sessions (gap > gap_sec starts a new session).
+
+    Scale shape: hash(user) → coarse ``_part`` (task count bounded by
+    ``num_parts`` regardless of user cardinality), each partition
+    lexsorted once by (user, ts) and scanned with a fully vectorized
+    session-boundary kernel — never per-key ``map_groups``, which hits
+    Ray's per-key sort-aggregate pathology at high user counts (see
+    functions/agg.py; the generic per-key operator survives as
+    ``functions.relational.sessionize_group`` for non-vectorizable
+    session logic). Equality with the per-key path is test-pinned at a
+    10×-user fixture (tests/test_ray_pipeline.py)."""
+    from .functions.agg import hash_part
+    from .functions.relational import sessions_scan
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(
-        partial(sessionize_group, time_col="ts", gap_sec=gap_sec, key_col="user_id"),
-        batch_format="pandas",
-    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = hash_part(t, ["user_id"], num_parts)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def sessions_part(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        epoch = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        return sessions_scan(uid, epoch, gap_sec)
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    return parts.groupby("_part").map_groups(sessions_part, batch_format="pyarrow")
 
 
 def top_revenue_orders(sf_dir: str, *, k: int = 10):

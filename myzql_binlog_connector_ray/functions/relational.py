@@ -229,6 +229,47 @@ def tumbling_window_agg(
     return agg
 
 
+_SESSIONS_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_start", pa.int64()),
+        ("session_end", pa.int64()),
+        ("n_events", pa.int64()),
+        ("duration_sec", pa.int64()),
+    ]
+)
+
+
+def sessions_scan(uid: np.ndarray, epoch_sec: np.ndarray, gap_sec: int) -> pa.Table:
+    """Vectorized sessionization over MANY users at once: lexsort by
+    (user, time), find session boundaries (user change OR gap >
+    gap_sec) with one diff pass, and emit one row per session via
+    boundary indexing — no per-user loop, no per-key shuffle. The
+    caller partitions by hash(user) so every user's events land in one
+    call (the same coarse-partition contract as functions/agg.py)."""
+    if len(uid) == 0:
+        return _SESSIONS_SCHEMA.empty_table()
+    uid = np.asarray(uid, dtype=np.int64)
+    epoch = np.asarray(epoch_sec, dtype=np.int64)
+    order = np.lexsort((epoch, uid))
+    uid, epoch = uid[order], epoch[order]
+    new_s = np.empty(len(uid), dtype=bool)
+    new_s[0] = True
+    new_s[1:] = (uid[1:] != uid[:-1]) | (epoch[1:] - epoch[:-1] > gap_sec)
+    starts = np.flatnonzero(new_s)
+    ends = np.r_[starts[1:], len(uid)]
+    s0, s1 = epoch[starts], epoch[ends - 1]
+    return pa.table(
+        {
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_start": pa.array(s0, pa.int64()),
+            "session_end": pa.array(s1, pa.int64()),
+            "n_events": pa.array(ends - starts, pa.int64()),
+            "duration_sec": pa.array(s1 - s0, pa.int64()),
+        }
+    )
+
+
 def sessionize_group(
     group: pd.DataFrame,
     time_col: str,

@@ -291,3 +291,53 @@ def test_batched_band_hashes_match_per_call_spec():
     for i in range(len(texts)):
         for b in range(nb):
             assert got[i * nb + b] == band_hash(sigs[i, b * rpb : (b + 1) * rpb])
+
+
+def test_sessions_scan_matches_per_key_reference():
+    """Vectorized multi-user sessions_scan == per-user sessionize_group
+    at a high-cardinality fixture (the 10x-user regime where per-key
+    map_groups hits Ray's per-key pathology)."""
+    import numpy as np
+    import pandas as pd
+
+    from myzql_binlog_connector_ray.functions.relational import (
+        sessionize_group,
+        sessions_scan,
+    )
+
+    rng = np.random.RandomState(3)
+    n, users = 50_000, 5_000
+    uid = rng.randint(0, users, size=n).astype(np.int64)
+    epoch = rng.randint(0, 500_000, size=n).astype(np.int64)
+    got = (
+        sessions_scan(uid, epoch, gap_sec=1800)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+    ts = pd.Series(pd.to_datetime(epoch, unit="s")).astype("datetime64[us]")
+    df = pd.DataFrame({"user_id": uid, "ts": ts})
+    df["side"] = "x"  # sessionize_group drops no columns; mimic group shape
+    want_parts = []
+    for _, g in df.groupby("user_id"):
+        want_parts.append(
+            sessionize_group(g[["user_id", "ts"]], time_col="ts", gap_sec=1800, key_col="user_id")
+        )
+    want = (
+        pd.concat(want_parts, ignore_index=True)[got.columns]
+        .astype("int64")
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_sessions_scan_empty_schema():
+    import numpy as np
+
+    from myzql_binlog_connector_ray.functions.relational import sessions_scan
+
+    t = sessions_scan(np.array([], dtype=np.int64), np.array([], dtype=np.int64), 60)
+    assert t.num_rows == 0
+    assert t.column_names == ["user_id", "session_start", "session_end", "n_events", "duration_sec"]

@@ -706,7 +706,15 @@ def top_revenue_orders(sf_dir: str, *, k: int = 10):
     return top[["rk", "o_orderkey", "revenue_cents"]]
 
 
-def embedding_near_dup_pairs(sf_dir: str, *, bits: int = 10, threshold: float = 0.95):
+def embedding_near_dup_pairs(
+    sf_dir: str,
+    *,
+    bits: int | None = None,
+    threshold: float = 0.95,
+    num_parts: int = 32,
+    max_bucket_ids: int = 4096,
+    target_occupancy: int = 16,
+):
     """Embedding-cosine near-dup: LSH bucket → exact cosine verify within
     buckets, over embeddings ∪ planted ground truth:
 
@@ -717,10 +725,25 @@ def embedding_near_dup_pairs(sf_dir: str, *, bits: int = 10, threshold: float = 
       well under the 0.95 threshold — present to prove the verify step
       filters, never emitted (fixture max natural cosine ≈ 0.6).
 
-    Round 1 planted nothing and returned 0 rows — a vacuous check."""
+    Round 1 planted nothing and returned 0 rows — a vacuous check.
+
+    Scale shape (round 3): ``bits`` scales with the corpus (parquet
+    row-count metadata → constant expected bucket occupancy, instead of
+    round 2's fixed 2^10 buckets whose occupancy — and the in-bucket
+    O(n²) ``triu`` — grew with N); buckets are walked inside coarse
+    ``_part`` partitions with one lexsort + boundary scan (the
+    ``simhash_dup_pairs`` pattern) instead of a per-bucket pandas
+    ``map_groups``; and a bucket past ``max_bucket_ids`` degrades to
+    star pairs against its min-id representative — O(n) rows and
+    O(n·dim) work, the same cap ``_minhash_pairs`` uses. Identical
+    vectors always share a bucket, so the star cap still links every
+    exact-copy cluster through its representative."""
     from .functions.ann import LshBucketer
 
     path = os.path.join(sf_dir, "embeddings.parquet")
+    n_planted = 3 * pq.ParquetFile(path).metadata.num_rows
+    if bits is None:
+        bits = max(10, int(np.ceil(np.log2(max(2.0, n_planted / target_occupancy)))))
     dim = len(_parquet_head(path, ["vec_id", "embedding"], 1)["embedding"][0].as_py())
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
 
@@ -747,29 +770,67 @@ def embedding_near_dup_pairs(sf_dir: str, *, bits: int = 10, threshold: float = 
         LshBucketer, fn_constructor_kwargs=dict(dim=dim, bits=bits), batch_format="pyarrow", concurrency=(1, 2)
     )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        if len(group) < 2:
+    from .functions.agg import combiner_aggregate, hash_part
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = hash_part(t, ["bucket"], num_parts)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def verify_part(g: pa.Table) -> pa.Table:
+        """One coarse partition: lexsort by (bucket, vec_id), walk
+        bucket boundaries, exact-cosine verify inside each bucket
+        (vectorized matmul; star-capped past max_bucket_ids)."""
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        if len(g) < 2:
             return empty
-        ids = group["vec_id"].to_numpy()
-        mat = np.asarray(group["embedding"].tolist(), dtype=np.float64)
+        ids = np.asarray(g["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        mat = np.asarray(g["embedding"].to_pylist(), dtype=np.float64)
+        bucket = g["bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bucket))
+        ids, bucket, mat = ids[order], bucket[order], mat[order]
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1
         mat = mat / norms
-        sims = mat @ mat.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        mask = sims[ii, jj] >= threshold
-        if not mask.any():
+        starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        ends = np.r_[starts[1:], len(bucket)]
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            sub_ids, sub = ids[s:e], mat[s:e]
+            if n > max_bucket_ids:
+                # star pairs vs the bucket's min-id representative (row 0
+                # after the id-lexsort): O(n·dim), never an n×n matrix
+                sims = sub[1:] @ sub[0]
+                hit = np.flatnonzero(sims >= threshold)
+                if len(hit):
+                    a_parts.append(np.full(len(hit), sub_ids[0]))
+                    b_parts.append(sub_ids[1:][hit])
+                continue
+            sims = sub @ sub.T
+            ii, jj = np.triu_indices(n, k=1)
+            mask = sims[ii, jj] >= threshold
+            if mask.any():
+                a_parts.append(sub_ids[ii][mask])
+                b_parts.append(sub_ids[jj][mask])
+        if not a_parts:
             return empty
-        a, b = ids[ii][mask], ids[jj][mask]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"a": lo, "b": hi})
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        return pa.table(
+            {"a": pa.array(np.minimum(a, b), pa.int64()), "b": pa.array(np.maximum(a, b), pa.int64())}
+        )
 
-    pairs = planted.groupby("bucket").map_groups(verify, batch_format="pandas")
+    cand = planted.map_batches(add_part, batch_format="pyarrow")
+    pairs = cand.groupby("_part").map_groups(verify_part, batch_format="pyarrow")
     # a pair can verify in at most one bucket (bucket id is a function of
-    # the vector), so no cross-bucket dedup is needed; still group to be
+    # the vector), so no cross-bucket dedup is needed; still reduce to be
     # robust to future multi-table LSH variants.
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
+    return combiner_aggregate(pairs, ["a", "b"], [(None, "count", "_n")], num_parts=8).select_columns(
+        ["a", "b"]
+    )
 
 
 def minhash_dup_verified(
@@ -778,35 +839,41 @@ def minhash_dup_verified(
     threshold: float = 0.5,
     concurrency=None,
     num_partitions: int = 8,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
+    broadcast_budget: int = 1_000_000,
 ):
     """MinHash-LSH candidates verified with exact n-gram Jaccard — fully
     distributed; no driver-side text map or per-pair loop (round 1
     verified pairs serially on the driver).
 
     ``strategy``:
-    - "broadcast" (default): candidate pairs are the SMALL side by
-      construction (bounded by dup clusters, not corpus size) — they
-      broadcast once via ``ray.put``; the per-doc gram sets stream
-      through a tagging ``map_batches`` (no shuffle) and ONE coarse
-      exchange on ``_part = pair % P`` reunites both members of every
-      pair in a single partition task, where Jaccard is computed over
-      the whole partition at once (sorting by a small int beats Ray's
-      per-key aggregate machinery at high pair cardinality). Text
-      never crosses the exchange; only candidate members' gram sets
-      do.
-    - "bucket_join": fully shuffle-based fallback for the regime where
-      even the candidate set is too big to broadcast — two bucketed
-      hash joins (functions.relational.bucket_lookup_join) attach the
-      gram sets; Jaccard runs in map_batches.
+    - "auto" (default): counts the candidate pairs (metadata-cheap on
+      the materialized candidate Dataset) and picks "broadcast" only
+      while the pair set fits ``broadcast_budget``; beyond it —
+      the 100 TB crawl-corpus regime where near-dup pairs grow with
+      the corpus — it switches to "bucket_join", so the default path
+      never materializes an unbounded pair set on the driver.
+    - "broadcast": candidate pairs broadcast once via ``ray.put``; the
+      per-doc gram sets stream through a tagging ``map_batches`` (no
+      shuffle) and ONE coarse exchange on ``_part = pair % P`` reunites
+      both members of every pair in a single partition task, where
+      Jaccard is computed over the whole partition at once (sorting by
+      a small int beats Ray's per-key aggregate machinery at high pair
+      cardinality). Text never crosses the exchange; only candidate
+      members' gram sets do.
+    - "bucket_join": fully shuffle-based — two bucketed hash joins
+      (functions.relational.bucket_lookup_join) attach the gram sets;
+      Jaccard runs in map_batches. No driver-side pair state at all.
     """
     corpus = _dup_corpus(sf_dir)
     pairs = _minhash_pairs(corpus, concurrency).materialize()
     gsets = corpus.map_batches(_task_stage(GramSetter), batch_format="pyarrow")
+    if strategy == "auto":
+        strategy = "broadcast" if pairs.count() <= broadcast_budget else "bucket_join"
     if strategy == "bucket_join":
         return _verified_bucket_join(pairs, gsets.materialize(), threshold, num_partitions)
 
-    prows = pairs.take_all()  # small: the candidate pairs themselves
+    prows = pairs.take_all()  # bounded: ≤ broadcast_budget candidate pairs
     if not prows:
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())}
@@ -989,7 +1056,14 @@ def corpus_curation_stats(sf_dir: str, *, min_tokens: int = 30):
     )
 
 
-def simhash_dup_pairs(sf_dir: str, *, bands: int = 6, band_bits: int = 10, max_hamming: int = 6):
+def simhash_dup_pairs(
+    sf_dir: str,
+    *,
+    bands: int = 6,
+    band_bits: int = 10,
+    max_hamming: int = 6,
+    max_bucket_ids: int = 4096,
+):
     """SimHash near-dup pairs: banded Hamming-LSH over the 60-bit
     fingerprint (6 bands × 10 bits — pigeonhole guarantees any pair
     within Hamming ≤ 5 collides on some band), then exact popcount
@@ -1027,9 +1101,16 @@ def simhash_dup_pairs(sf_dir: str, *, bands: int = 6, band_bits: int = 10, max_h
             }
         )
 
+    from .functions.dedup import popcount64
+
     def emit_pairs_part(g: pa.Table) -> pa.Table:
         """One coarse partition: lexsort by (band, key), walk bucket
-        boundaries, emit verified pairs per bucket."""
+        boundaries, emit verified pairs per bucket — vectorized xor +
+        popcount per bucket, star-capped past ``max_bucket_ids`` (a
+        degenerate corpus, e.g. empty docs all fingerprinting to 0,
+        would otherwise make one bucket O(n²); star pairs still link
+        the cluster through its min-id representative, logged because
+        they under-report vs the all-pairs oracle)."""
         band = g["band"].to_numpy(zero_copy_only=False)
         key = g["key"].to_numpy(zero_copy_only=False)
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
@@ -1038,24 +1119,46 @@ def simhash_dup_pairs(sf_dir: str, *, bands: int = 6, band_bits: int = 10, max_h
         band, key, ids, hs = band[order], key[order], ids[order], hs[order]
         starts = np.flatnonzero(np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])])
         ends = np.r_[starts[1:], len(band)]
-        a_out, b_out, d_out = [], [], []
+        a_parts, b_parts, d_parts = [], [], []
         for s, e in zip(starts, ends):
-            if e - s < 2:
+            n = e - s
+            if n < 2:
                 continue
             # a doc appears once per band, so rows in a bucket are
-            # distinct docs already; iterate the (usually tiny) bucket
-            for i in range(s, e):
-                for j in range(i + 1, e):
-                    d = int(hs[i] ^ hs[j]).bit_count()
-                    if d <= max_hamming:
-                        a_out.append(int(ids[i]))
-                        b_out.append(int(ids[j]))
-                        d_out.append(d)
+            # distinct docs already (sorted by id: row s holds min id)
+            if n > max_bucket_ids:
+                from .logging_config import get_logger
+
+                get_logger("dedup").warning(
+                    "simhash bucket of %d ids star-capped at %d", n, max_bucket_ids
+                )
+                d = popcount64(np.bitwise_xor(hs[s], hs[s + 1 : e]))
+                hit = np.flatnonzero(d <= max_hamming)
+                if len(hit):
+                    a_parts.append(np.full(len(hit), ids[s]))
+                    b_parts.append(ids[s + 1 : e][hit])
+                    d_parts.append(d[hit])
+                continue
+            ii, jj = np.triu_indices(n, k=1)
+            d = popcount64(np.bitwise_xor(hs[s:e][ii], hs[s:e][jj]))
+            mask = d <= max_hamming
+            if mask.any():
+                a_parts.append(ids[s:e][ii][mask])
+                b_parts.append(ids[s:e][jj][mask])
+                d_parts.append(d[mask])
+        if not a_parts:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "a": pa.array(a_out, pa.int64()),
-                "b": pa.array(b_out, pa.int64()),
-                "hamming": pa.array(d_out, pa.int64()),
+                "a": pa.array(np.concatenate(a_parts), pa.int64()),
+                "b": pa.array(np.concatenate(b_parts), pa.int64()),
+                "hamming": pa.array(np.concatenate(d_parts), pa.int64()),
             }
         )
 

@@ -105,6 +105,16 @@ def gram_hashes(wh: np.ndarray, k: int = 5) -> np.ndarray:
     return mod_m31(acc)
 
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — the Hamming-distance kernel
+    for simhash verification; int64-safe for non-negative inputs."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
 def band_hash(chunk: np.ndarray) -> int:
     """60-bit band key over one band's minhash values (md5 of the
     comma-joined decimal encoding; oracle: substr(md5(string_agg(...)),1,15))."""

@@ -247,9 +247,12 @@ def test_minhash_verified_strategies_agree(ray_session):
 
     a = norm(api.minhash_dup_verified("/root/testdata/sf0.001", strategy="broadcast"))
     b = norm(api.minhash_dup_verified("/root/testdata/sf0.001", strategy="bucket_join"))
+    # auto with a tiny budget must route to bucket_join (scale-safe path)
+    c = norm(api.minhash_dup_verified("/root/testdata/sf0.001", broadcast_budget=1))
     import pandas as pd
 
     pd.testing.assert_frame_equal(a[["a", "b", "jaccard"]], b[["a", "b", "jaccard"]])
+    pd.testing.assert_frame_equal(a[["a", "b", "jaccard"]], c[["a", "b", "jaccard"]])
 
 
 def test_ann_variants_recall_vs_bruteforce(ray_session):
@@ -341,3 +344,17 @@ def test_sessions_scan_empty_schema():
     t = sessions_scan(np.array([], dtype=np.int64), np.array([], dtype=np.int64), 60)
     assert t.num_rows == 0
     assert t.column_names == ["user_id", "session_start", "session_end", "n_events", "duration_sec"]
+
+
+def test_popcount64_matches_bit_count():
+    import numpy as np
+
+    from myzql_binlog_connector_ray.functions.dedup import popcount64
+
+    rng = np.random.RandomState(9)
+    xs = np.concatenate(
+        [rng.randint(0, 1 << 60, size=1000, dtype=np.int64), np.array([0, 1, (1 << 60) - 1])]
+    )
+    got = popcount64(xs)
+    want = np.array([int(x).bit_count() for x in xs], dtype=np.int64)
+    assert np.array_equal(got, want)

@@ -52,6 +52,9 @@ def run_bench() -> dict:
     )
     from ray.data import DataContext
 
+    from myzql_binlog_connector_ray.logging_config import quiet_empty_partition_warnings
+
+    quiet_empty_partition_warnings()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     # exchange implementation for the groupby("part") apply shuffle:

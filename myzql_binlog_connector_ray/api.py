@@ -135,8 +135,24 @@ def _task_stage(cls, **kwargs):
     return fn
 
 
+def _read_parquet(path: str, columns=None):
+    """``ray.data.read_parquet`` with hashable (metadata-free) schemas.
+
+    Parquet written via pandas embeds a ``b'pandas'`` schema-metadata
+    blob; a schema carrying it is UNHASHABLE (``hash(schema)`` raises
+    on the inner dict), which defeats Ray's schema-deduplication fast
+    path in block concat and spams 'Failed to hash the schemas'
+    warnings from every read/reduce worker. Passing an explicit
+    stripped schema (pruned to ``columns``, in request order — read
+    batches follow the projection order) fixes the blocks at the
+    source — inside the read task itself."""
+    full = pq.read_schema(path).remove_metadata()
+    schema = pa.schema([full.field(n) for n in columns]) if columns is not None else full
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
+
+
 def _docs_ds(sf_dir: str, columns=None):
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return _read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 def dedup_exact(sf_dir: str):
@@ -169,7 +185,7 @@ def token_count_by_lang(sf_dir: str):
 
 
 def quality_stats_by_source(sf_dir: str, *, concurrency=None):
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text", "source"])
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text", "source"])
     ds = ds.map_batches(_task_stage(QualityScorer), batch_format="pyarrow")
     return ds.groupby("source").aggregate(
         Count(alias_name="n_docs"),
@@ -201,7 +217,7 @@ def ann_topk_bruteforce(sf_dir: str, *, k: int = 10, num_queries: int = 5):
     qids = head["vec_id"].to_pylist()
     q_ref = ray.put(q)
 
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = _read_parquet(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(
         BruteForceTopK,
         fn_constructor_kwargs=dict(queries_ref=q_ref, query_ids=qids, k=k),
@@ -349,7 +365,7 @@ def ann_topk_lsh(sf_dir: str, *, k: int = 10, num_queries: int = 5, bits: int = 
     bucketer = LshBucketer(dim=dim, bits=bits)
     q_buckets = bucketer.bucket_of(q)
 
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = _read_parquet(path, columns=["vec_id", "embedding"])
     ds = ds.map_batches(
         LshBucketer, fn_constructor_kwargs=dict(dim=dim, bits=bits), batch_format="pyarrow", concurrency=(1, 2)
     )
@@ -456,7 +472,7 @@ def _cents(batch: pa.Table, src: str, dst: str, factor: str | None = None) -> pa
 
 def lineitem_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary (cents-exact aggregates)."""
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -488,7 +504,7 @@ def revenue_by_brand(sf_dir: str, *, concurrency=(1, 4)):
     ).rename_columns(["l_partkey", "p_brand"])
     ref = ray.put(part_t)
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     )
@@ -519,10 +535,10 @@ def order_priority_revenue(sf_dir: str, *, num_buckets: int = 16):
     side, key + pre-computed cents on the other) through the shuffle,
     and Arrow-native partitions preserve int64 exactly (round-1's
     null-padded-union variant leaked int64 → float64 through pandas)."""
-    orders = ray.data.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
     )
-    lineitem = ray.data.read_parquet(
+    lineitem = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -549,10 +565,10 @@ def asof_last_event_per_order(sf_dir: str, *, num_buckets: int = 8):
     on customer key. Bucket by key, merge_asof within buckets."""
     from .functions.relational import asof_join_group, tag_and_bucket
 
-    orders = ray.data.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
-    events = ray.data.read_parquet(
+    events = _read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
     )
 
@@ -621,7 +637,7 @@ def events_tumbling_window(sf_dir: str, *, window_sec: int = 3600):
 
     from .functions.agg import combiner_aggregate
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"])
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"])
 
     def stamp(t: pa.Table) -> pa.Table:
         sec = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
@@ -658,7 +674,7 @@ def events_sessionize(sf_dir: str, *, gap_sec: int = 1800, num_parts: int = 32):
     from .functions.agg import hash_part
     from .functions.relational import sessions_scan
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
 
     def add_part(t: pa.Table) -> pa.Table:
         part = hash_part(t, ["user_id"], num_parts)
@@ -678,7 +694,7 @@ def top_revenue_orders(sf_dir: str, *, k: int = 10):
     orderkey, so per-block partial sums shrink the exchange ~4x), a
     small per-order aggregate, then per-block top-k candidates so the
     final sort ranks ≤ k·#blocks rows instead of every order."""
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -745,7 +761,7 @@ def embedding_near_dup_pairs(
     if bits is None:
         bits = max(10, int(np.ceil(np.log2(max(2.0, n_planted / target_occupancy)))))
     dim = len(_parquet_head(path, ["vec_id", "embedding"], 1)["embedding"][0].as_py())
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = _read_parquet(path, columns=["vec_id", "embedding"])
 
     def plant(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -984,7 +1000,7 @@ def ann_topk_ivf(sf_dir: str, *, k: int = 10, num_queries: int = 5, n_lists: int
     index = IvfIndex(centroids)
     probe_lists = set(int(l) for lists in index.probe(q, nprobe) for l in lists)
 
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = _read_parquet(path, columns=["vec_id", "embedding"])
     ds = ds.map_batches(
         IvfIndex, fn_constructor_kwargs=dict(centroids=ray.put(centroids)),
         batch_format="pyarrow", concurrency=(1, 2),
@@ -1192,10 +1208,10 @@ def events_order_value_range_join(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum as _Sum
 
-    orders = ray.data.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice", "o_orderpriority"]
     )
-    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    events = _read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
 
     def prep_orders(t: pa.Table) -> pa.Table:
         # each interval lands in every unit bin it overlaps — expanded
@@ -1273,7 +1289,7 @@ def events_hopping_window(sf_dir: str, *, window_sec: int = 3600, hop_sec: int =
     flat-map fan-out happens inside ``map_batches`` (vectorized repeat)
     before a single (user, window) aggregate; no per-event Python."""
     overlap = window_sec // hop_sec
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"])
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"])
 
     def fan_out(t: pa.Table) -> pa.Table:
         ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -1321,7 +1337,7 @@ def events_value_percentiles(sf_dir: str, *, qs=(0.5, 0.9, 0.99), bin_width: flo
 
     from .functions.agg import combiner_aggregate
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
 
     def binify(t: pa.Table) -> pa.Table:
         v = t["value"].to_numpy(zero_copy_only=False)
@@ -1369,10 +1385,10 @@ def top_orders_per_priority(sf_dir: str, *, k: int = 3, num_buckets: int = 16):
     block-local top-k per priority (each block forwards ≤ k·|priorities|
     candidate rows) and a final per-priority rank — the full per-order
     ranking is never globally sorted."""
-    orders = ray.data.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
     )
-    lineitem = ray.data.read_parquet(
+    lineitem = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -1394,13 +1410,30 @@ def top_orders_per_priority(sf_dir: str, *, k: int = 3, num_buckets: int = 16):
     )
 
     def local_topk(t: pa.Table) -> pa.Table:
-        df = t.select(["o_orderpriority", "o_orderkey", "revenue_cents"]).to_pandas()
-        df = df.sort_values(
-            ["o_orderpriority", "revenue_cents", "o_orderkey"],
-            ascending=[True, False, True],
-            kind="stable",
+        """Arrow-only grouped head-k: sort once, then keep each row
+        whose within-group position < k (vectorized boundary scan). No
+        pandas round-trip — an empty pandas block would convert its
+        string column to a null-typed arrow column and trip the
+        streaming executor's schema check."""
+        import pyarrow.compute as pc
+
+        t = t.select(["o_orderpriority", "o_orderkey", "revenue_cents"])
+        if not len(t):
+            return t
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("o_orderpriority", "ascending"),
+                ("revenue_cents", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
         )
-        return pa.Table.from_pandas(df.groupby("o_orderpriority").head(k), preserve_index=False)
+        s = t.take(idx)
+        prio = np.asarray(s["o_orderpriority"].to_pylist(), dtype=object)
+        grp_start = np.flatnonzero(np.r_[True, prio[1:] != prio[:-1]])
+        sizes = np.diff(np.r_[grp_start, len(prio)])
+        pos = np.arange(len(prio)) - np.repeat(grp_start, sizes)
+        return s.filter(pa.array(pos < k))
 
     def rank_group(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1467,7 +1500,7 @@ def distinct_users_per_day(sf_dir: str):
     two-level distinct that never collects a user set anywhere."""
     from .functions.agg import combiner_aggregate
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
 
     def day_pairs(t: pa.Table) -> pa.Table:
         sec = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000

@@ -61,9 +61,10 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
-    from .logging_config import get_logger, init as init_logging
+    from .logging_config import get_logger, init as init_logging, quiet_empty_partition_warnings
 
     init_logging("debug" if args.verbose else args.log_level, args.log_file)
+    quiet_empty_partition_warnings()
     log = get_logger("cli")
 
     from .config import JobConfig

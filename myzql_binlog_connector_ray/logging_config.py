@@ -105,3 +105,29 @@ def init(level: str = "info", log_file: Optional[str] = None) -> logging.Logger:
 def get_logger(scope: str = "") -> logging.Logger:
     """Scoped logger: messages print as ``level(scope): ...``."""
     return logging.getLogger(f"{_ROOT}.{scope}" if scope else _ROOT)
+
+
+class _EmptySortPartitionFilter(logging.Filter):
+    """Drop Ray Data's schema-divergence warning ONLY for empty bundles.
+
+    Ray's sort-based shuffle materializes empty partitions as 0-column
+    tables (ray/data/_internal/arrow_block.py ``_empty_table``), which
+    trips the streaming executor's schema check (``new schema: .`` —
+    the empty schema renders as nothing) even when every non-empty
+    block agrees. Genuine divergences — a non-empty differing schema —
+    still pass through."""
+
+    def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+        msg = record.getMessage()
+        return not (
+            "Operator produced a RefBundle with a different schema" in msg
+            and "new schema: ." in msg
+        )
+
+
+def quiet_empty_partition_warnings() -> None:
+    """Install the empty-sort-partition filter on the (driver-side)
+    streaming executor logger. Called by bench/CLI entry points."""
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySortPartitionFilter())

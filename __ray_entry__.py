@@ -274,19 +274,25 @@ _D = """
 """
 
 
+_LAKE_FINAL_SQL = f"""
+    WITH d AS ({_D})
+    SELECT repo, path,
+           md5(repo || ':' || path || ':v' || v) AS commit,
+           lang,
+           CASE WHEN v = 1 THEN text ELSE text || ' [v' || v || ']' END AS content,
+           CAST(CASE WHEN doc_id % 9 = 0 THEN doc_id % 1000 END AS BIGINT) AS stars,
+           sha256(CASE WHEN v = 1 THEN text ELSE text || ' [v' || v || ']' END) AS content_sha256
+    FROM d
+    WHERE doc_id % 5 <> 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
-        "lake_upsert_lww": f"""
-            WITH d AS ({_D})
-            SELECT repo, path,
-                   md5(repo || ':' || path || ':v' || v) AS commit,
-                   lang,
-                   CASE WHEN v = 1 THEN text ELSE text || ' [v' || v || ']' END AS content,
-                   CAST(CASE WHEN doc_id % 9 = 0 THEN doc_id % 1000 END AS BIGINT) AS stars,
-                   sha256(CASE WHEN v = 1 THEN text ELSE text || ' [v' || v || ']' END) AS content_sha256
-            FROM d
-            WHERE doc_id % 5 <> 0
-        """,
+        "lake_upsert_lww": _LAKE_FINAL_SQL,
+        # exactly-once: the double-replay lake must equal the
+        # single-replay final state, value-for-value
+        "ingest_exactly_once": _LAKE_FINAL_SQL,
         "changes_count_by_dml": """
             WITH d AS (SELECT doc_id FROM documents)
             SELECT 'app' AS "database", 'repos' AS table_name, 'INSERT' AS dml_type,
@@ -599,6 +605,76 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup_pairs": """
             SELECT vec_id AS a, vec_id + 1000000 AS b FROM embeddings
+        """,
+        # IvfIndex.train_one_pass + assign + probe + rank, recomputed
+        # closed-form: seeds = first 8 vec_id-ordered sample rows, one
+        # cosine assignment pass (ties -> lowest lid), centroids =
+        # elementwise avg of raw assigned vectors (empty list keeps its
+        # seed), full-table assignment, top-3 probed lists per query,
+        # top-10 by (sim DESC, nid ASC).
+        "ann_topk_ivf": """
+            WITH s AS (
+              SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
+              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)
+            ),
+            seeds AS (SELECT rn - 1 AS lid, embedding AS se FROM s WHERE rn <= 8),
+            assign_s AS (
+              SELECT vec_id, embedding, lid FROM (
+                SELECT s.vec_id, s.embedding, d.lid,
+                       row_number() OVER (
+                         PARTITION BY s.vec_id
+                         ORDER BY list_cosine_similarity(s.embedding, d.se) DESC, d.lid
+                       ) AS r
+                FROM s CROSS JOIN seeds d
+              ) WHERE r = 1
+            ),
+            cent AS (
+              SELECT lid, list(m ORDER BY i) AS ce FROM (
+                SELECT lid, i, avg(v) AS m FROM (
+                  SELECT lid, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM assign_s
+                ) GROUP BY lid, i
+              ) GROUP BY lid
+            ),
+            cents AS (
+              SELECT d.lid, coalesce(c.ce, d.se) AS ce
+              FROM seeds d LEFT JOIN cent c ON c.lid = d.lid
+            ),
+            assign_all AS (
+              SELECT vec_id, embedding, lid FROM (
+                SELECT e.vec_id, e.embedding, c.lid,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.lid
+                       ) AS r
+                FROM embeddings e CROSS JOIN cents c
+              ) WHERE r = 1
+            ),
+            q AS (SELECT vec_id AS qid, embedding AS qe FROM s WHERE rn <= 5),
+            probes AS (
+              SELECT DISTINCT lid FROM (
+                SELECT q.qid, c.lid,
+                       row_number() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.lid
+                       ) AS r
+                FROM q CROSS JOIN cents c
+              ) WHERE r <= 3
+            ),
+            sims AS (
+              SELECT q.qid, c.vec_id AS nid, list_cosine_similarity(q.qe, c.embedding) AS sim
+              FROM q CROSS JOIN (
+                SELECT vec_id, embedding FROM assign_all
+                WHERE lid IN (SELECT lid FROM probes)
+              ) c
+              WHERE c.vec_id <> q.qid
+            )
+            SELECT qid, nid, rk FROM (
+              SELECT qid, nid,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+              FROM sims
+            ) WHERE rk <= 10
         """,
         "events_value_percentiles": """
             SELECT CAST(0.5 AS DOUBLE) AS pct, quantile_disc(value, 0.5) AS value FROM events

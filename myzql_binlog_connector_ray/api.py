@@ -429,17 +429,21 @@ def multimodal_decode(sf_dir: str, *, concurrency=(1, 4)):
 
 
 def ingest_exactly_once(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
-    """Transactional ingest run twice; returns per-partition commit
-    summaries of the second (fully skipped) run — exactly-once evidence."""
+    """Transactional ingest run TWICE over the same stream; asserts the
+    second replay is a per-partition no-op (watermark manifests all
+    report skipped) and returns the FINAL LAKE STATE — which the
+    driver oracles against the same SQL as ``lake_upsert_lww``. The
+    exactly-once evidence is therefore value-checked end to end: a
+    double replay must yield the byte-identical single-replay lake
+    (round 2 returned only the skip summaries, a rows-only check)."""
     import shutil
 
-    from .pipelines.ingest import run_ingest
+    from .pipelines.ingest import read_lake, run_ingest
 
     fx = _fixtures(sf_dir)
     lake_dir = os.path.join(fx["root"], "lake_e1")
     if os.path.exists(lake_dir):
         shutil.rmtree(lake_dir)
-    import glob
 
     src = _fresh_lake(fx, num_partitions)
     shutil.copytree(src, lake_dir)
@@ -447,7 +451,15 @@ def ingest_exactly_once(sf_dir: str, *, num_partitions: int = 16, concurrency=No
     summaries = run_ingest(
         fx["segment_paths"], lake_dir, num_partitions=num_partitions, concurrency=concurrency
     )
-    return pd.DataFrame(summaries).sort_values("part").reset_index(drop=True)
+    not_skipped = [s["part"] for s in summaries if not s.get("skipped")]
+    if not_skipped:
+        raise AssertionError(
+            f"exactly-once violated: second replay committed partitions {not_skipped}"
+        )
+    return read_lake(lake_dir).map_batches(
+        lambda t: t.select(FINAL_COLUMNS).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -986,14 +998,19 @@ def _verified_bucket_join(pairs, gsets, threshold: float, num_partitions: int):
 
 
 def ann_topk_ivf(sf_dir: str, *, k: int = 10, num_queries: int = 5, n_lists: int = 8, nprobe: int = 3):
-    """IVF ANN: cosine-k-means lists trained on a driver-side sample,
-    centroids broadcast; queries probe nprobe lists only (rows-only)."""
+    """IVF ANN: cosine-k-means-style lists trained on a driver-side
+    sample (the SQL-reproducible one-pass spec — seeds are the first
+    ``n_lists`` vec_id-ordered sample rows, one cosine assignment, raw
+    elementwise-mean centroids; see IvfIndex.train_one_pass), centroids
+    broadcast; queries probe nprobe lists only. The DuckDB oracle
+    recomputes training, assignment, probing, and ranking closed-form,
+    so list routing itself is value-checked (rows-only in round 2)."""
     from .functions.ann import BruteForceTopK, IvfIndex
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     train_head = _parquet_head(path, ["vec_id", "embedding"], 256)
     sample = np.asarray(train_head["embedding"].to_pylist(), dtype=np.float64)
-    centroids = IvfIndex.train(sample, n_lists=n_lists)
+    centroids = IvfIndex.train_one_pass(sample, n_lists=n_lists)
     head = train_head.slice(0, num_queries)
     q = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
     qids = head["vec_id"].to_pylist()

@@ -139,12 +139,36 @@ class IvfIndex:
             centroids = _normalize(centroids)
         return centroids
 
+    @staticmethod
+    def train_one_pass(sample: np.ndarray, n_lists: int) -> np.ndarray:
+        """The SQL-reproducible training spec (the ``ann_topk_ivf``
+        oracle recomputes it exactly in DuckDB): seeds are the first
+        ``n_lists`` sample rows (the sample is vec_id-ordered, so this
+        is deterministic and data-derived, not RNG-derived), ONE cosine
+        assignment pass (ties → lowest list id, np.argmax first-max),
+        centroid = elementwise mean of the RAW assigned vectors, empty
+        lists keep their seed. Cosine reads are scale-invariant, so the
+        unnormalized mean is exactly DuckDB's ``avg(v)`` per element."""
+        sample = np.asarray(sample, dtype=np.float64)
+        n_lists = min(n_lists, len(sample))
+        seeds = sample[:n_lists]
+        assign = (_normalize(sample) @ _normalize(seeds).T).argmax(axis=1)
+        cents = seeds.copy()
+        for j in range(n_lists):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+        return cents
+
     def assign(self, mat: np.ndarray) -> np.ndarray:
+        # argmax takes the FIRST max → ties break to the lowest list id
+        # (mirrored by the oracle's ORDER BY sim DESC, lid ASC)
         return (_normalize(mat) @ self.centroids.T).argmax(axis=1).astype(np.int64)
 
     def probe(self, queries: np.ndarray, nprobe: int = 4) -> list[np.ndarray]:
         sims = _normalize(np.asarray(queries, dtype=np.float64)) @ self.centroids.T
-        return [np.argsort(-row)[:nprobe] for row in sims]
+        # stable sort: equal sims keep ascending list order (spec tiebreak)
+        return [np.argsort(-row, kind="stable")[:nprobe] for row in sims]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)

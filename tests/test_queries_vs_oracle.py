@@ -96,11 +96,9 @@ SQL_CHECKED = [
     "top_orders_per_priority",  # grouped top-k (windowed ranking)
     "top_tokens",  # distributed word count + global top-k
     "distinct_users_per_day",  # exact two-level COUNT(DISTINCT)
-]
-
-ROWS_ONLY = [
-    "ann_topk_ivf",  # data-dependent k-means centroids aren't SQL-static
-    "ingest_exactly_once",  # stateful two-run protocol
+    # round 3: the last two rows-only queries gained oracles
+    "ann_topk_ivf",  # one-pass IVF training spec recomputed closed-form
+    "ingest_exactly_once",  # double-replay lake == single-replay lake SQL
 ]
 
 
@@ -135,18 +133,12 @@ def test_query_matches_oracle(entrymod, sf_dir, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(entrymod, sf_dir, name):
-    fn = entrymod.queries()[name]
-    df = _to_pandas(fn(sf_dir))
-    assert len(df) >= 0
-    assert len(df.columns) > 0
-
-
 def test_every_oracle_key_has_query(entrymod):
     q = set(entrymod.queries().keys())
     o = set(entrymod.oracle_sql().keys())
     assert o <= q
+    # round 3: EVERY query is oracled — no rows-only checks remain
+    assert q == o
 
 
 def test_entry_smoke(entrymod):

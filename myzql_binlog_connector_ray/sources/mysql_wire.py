@@ -8,9 +8,10 @@ src/mysql/auth.zig, src/binlog_reader.zig:100-146):
 
 - packet framing (3-byte LE length + sequence id, 16 MB continuation)
 - HandshakeV10 parse / HandshakeResponse41 build
-- auth: mysql_native_password and caching_sha2_password (fast path),
-  AuthSwitchRequest handling; full caching_sha2 RSA exchange requires
-  TLS and is rejected with a clear error
+- auth: mysql_native_password and caching_sha2_password (fast path +
+  full auth: cleartext password over TLS, or the RSA-OAEP public-key
+  exchange on an insecure channel — rsa_oaep.py, stdlib-only),
+  AuthSwitchRequest handling
 - optional TLS via SSLRequest + stdlib ssl wrap
 - COM_QUERY (OK or skipped result set), COM_BINLOG_DUMP
 - binlog event stream framing (0x00-prefixed packets; EOF / ERR)
@@ -301,10 +302,10 @@ class MysqlConnection:
         self.io.write_packet(
             build_handshake_response(caps, self.user, auth, self.database, plugin)
         )
-        self._finish_auth(plugin)
+        self._finish_auth(plugin, hs.seed)
         return self
 
-    def _finish_auth(self, plugin: str) -> None:
+    def _finish_auth(self, plugin: str, seed: bytes) -> None:
         assert self.io is not None
         while True:
             payload = self.io.read_packet()
@@ -327,12 +328,23 @@ class MysqlConnection:
                         # over TLS the cleartext password is the protocol
                         self.io.write_packet(self.password.encode() + b"\x00")
                         continue
-                    raise MysqlError(
-                        -1,
-                        "caching_sha2_password full authentication requires TLS "
-                        "(connect with use_tls=True) or a cached server entry; "
-                        "the RSA key exchange needs an RSA library not present here",
-                    )
+                    # cleartext channel: RSA key exchange, like the
+                    # reference (src/mysql/auth.zig:134-175) — request
+                    # the server public key, then send OAEP(password ⊕
+                    # nonce). Round 2 rejected this path; rsa_oaep.py
+                    # implements it stdlib-only.
+                    from .rsa_oaep import oaep_encrypt, parse_public_key_pem, xor_with_seed
+
+                    self.io.write_packet(b"\x02")  # public key request
+                    more = self.io.read_packet()
+                    if not more or more[0] != 0x01:
+                        raise MysqlError(
+                            -1, f"expected server RSA key, got 0x{more[:1].hex()}"
+                        )
+                    n, e = parse_public_key_pem(more[1:])
+                    plain = xor_with_seed(self.password.encode() + b"\x00", seed)
+                    self.io.write_packet(oaep_encrypt(plain, n, e))
+                    continue
                 raise MysqlError(-1, f"unexpected caching_sha2 state 0x{payload[1:2].hex()}")
             raise MysqlError(-1, f"unexpected auth packet 0x{payload[:1].hex()}")
 

@@ -63,6 +63,62 @@ def fake_rotate_frame(binlog_file: str, position: int = 4) -> bytes:
     return body + struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF)
 
 
+def _miller_rabin(n: int, rng, rounds: int = 40) -> bool:
+    if n < 4:
+        return n in (2, 3)
+    if n % 2 == 0:
+        return False
+    d, r = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for _ in range(rounds):
+        a = rng.randrange(2, n - 1)
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = pow(x, 2, n)
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _gen_rsa_keypair(bits: int = 1024, seed: int = 1213):
+    """Deterministic TEST keypair (seeded PRNG — never for real use)."""
+    import random
+
+    rng = random.Random(seed)
+    e = 65537
+
+    def gen_prime(b: int) -> int:
+        while True:
+            p = rng.getrandbits(b) | (1 << (b - 1)) | 1
+            if p % e != 1 and _miller_rabin(p, rng):
+                return p
+
+    while True:
+        p, q = gen_prime(bits // 2), gen_prime(bits // 2)
+        phi = (p - 1) * (q - 1)
+        try:
+            d = pow(e, -1, phi)
+        except ValueError:
+            continue
+        return p * q, e, d
+
+
+_RSA_KEY = None  # lazily generated, shared across server instances
+
+
+def _rsa_key():
+    global _RSA_KEY
+    if _RSA_KEY is None:
+        _RSA_KEY = _gen_rsa_keypair()
+    return _RSA_KEY
+
+
 class ReplayServer:
     """Serves segment files from ``segment_dir`` to one client at a time."""
 
@@ -174,7 +230,28 @@ class ReplayServer:
             # pretend no cached entry: request full authentication
             io.write_packet(b"\x01\x04")
             full = io.read_packet()
-            if full.rstrip(b"\x00").decode() != self.password:
+            if full == b"\x02":
+                # cleartext channel: client requests the server RSA key,
+                # then sends OAEP(password+NUL XOR nonce) — the MySQL
+                # sha256/caching_sha2 public-key exchange
+                from myzql_binlog_connector_ray.sources.rsa_oaep import (
+                    encode_public_key_pem,
+                    oaep_decrypt,
+                    xor_with_seed,
+                )
+
+                n, e, d = _rsa_key()
+                io.write_packet(b"\x01" + encode_public_key_pem(n, e))
+                ct = io.read_packet()
+                try:
+                    plain = xor_with_seed(oaep_decrypt(ct, n, d), SEED)
+                except ValueError:
+                    io.write_packet(_err(1045, "Access denied (bad OAEP)"))
+                    return
+                if plain != self.password.encode() + b"\x00":
+                    io.write_packet(_err(1045, "Access denied (full auth)"))
+                    return
+            elif full.rstrip(b"\x00").decode() != self.password:
                 io.write_packet(_err(1045, "Access denied (full auth)"))
                 return
         io.write_packet(OK)

@@ -209,14 +209,57 @@ def test_tls_upgrade_and_caching_sha2_full_auth(fixture_paths, tls_cert, tmp_pat
     assert srv.errors == []
 
 
-def test_caching_sha2_full_auth_refused_without_tls(fixture_paths, tls_cert):
-    cert, key = tls_cert
+def test_caching_sha2_rsa_full_auth_without_tls(fixture_paths, tmp_path):
+    """Full caching_sha2 authentication over a CLEARTEXT channel via
+    the RSA public-key exchange (reference src/mysql/auth.zig:134-175):
+    client requests the server key (0x02), receives PEM, sends
+    OAEP(password+NUL XOR nonce); the replay server decrypts with its
+    private key and verifies. Then tails a stream over the same
+    connection path."""
     seg_dir = os.path.dirname(fixture_paths["segment_paths"][0])
-    with ReplayServer(
-        seg_dir, tls_cert=cert, tls_key=key, auth_plugin="caching_sha2_password"
-    ) as srv:
-        with pytest.raises(MysqlError, match="full authentication requires TLS"):
-            MysqlConnection(port=srv.port, user="repl", password="secret").connect()
+    with ReplayServer(seg_dir, auth_plugin="caching_sha2_password") as srv:
+        conn = MysqlConnection(port=srv.port, user="repl", password="secret").connect()
+        conn.query("SELECT 1")
+        conn.close()
+        with pytest.raises(MysqlError, match="Access denied"):
+            MysqlConnection(port=srv.port, user="repl", password="wrong").connect()
+        out = str(tmp_path / "rsa_tailed")
+        manifests = tail_binlog_to_segments(
+            out, port=srv.port, user="repl", password="secret",
+            start_file="binlog.000001",
+        )
+        assert {m.segment for m in manifests} >= {
+            os.path.basename(p) for p in fixture_paths["segment_paths"]
+        }
+    assert srv.errors == []
+
+
+def test_rsa_oaep_roundtrip_and_pem():
+    """OAEP encrypt/decrypt roundtrip + PEM/DER parse of both SPKI and
+    PKCS#1 forms + XOR obfuscation involution."""
+    from tests.replay_server import _rsa_key
+    from myzql_binlog_connector_ray.sources.rsa_oaep import (
+        encode_public_key_pem,
+        oaep_decrypt,
+        oaep_encrypt,
+        parse_public_key_pem,
+        xor_with_seed,
+    )
+
+    n, e, d = _rsa_key()
+    pem = encode_public_key_pem(n, e)
+    assert pem.startswith(b"-----BEGIN PUBLIC KEY-----")
+    assert parse_public_key_pem(pem) == (n, e)
+    for msg in (b"", b"secret\x00", bytes(range(60))):
+        assert oaep_decrypt(oaep_encrypt(msg, n, e), n, d) == msg
+    # tampered ciphertext must not decode
+    ct = bytearray(oaep_encrypt(b"secret\x00", n, e))
+    ct[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        oaep_decrypt(bytes(ct), n, d)
+    seed = bytes(range(20))
+    data = b"hunter2\x00"
+    assert xor_with_seed(xor_with_seed(data, seed), seed) == data
 
 
 def test_tail_resume_after_interrupt(replay, fixture_paths, tmp_path):

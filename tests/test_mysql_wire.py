@@ -291,3 +291,65 @@ def test_tail_resume_after_interrupt(replay, fixture_paths, tmp_path):
     # complete last segment (ends in ROTATE) → resume from its target
     nxt, pos = resume_point(out_dir)
     assert pos == 4 and nxt > sorted(os.listdir(out_dir))[-1]
+
+
+def test_tail_to_ingest_streaming_handoff(replay, fixture_paths, tmp_path, ray_session):
+    """The deployment shape end to end (sources/binlog_tail.py:1-15): a
+    LIVE tailer closes segments while a concurrent ingest consumes
+    them. The mid-stream ingest commits whatever has closed; the final
+    ingest over the full closed set is incremental (per-partition
+    watermarks skip the replayed prefix); the resulting lake equals a
+    direct ingest of the fixture segments."""
+    import threading
+    import time
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from myzql_binlog_connector_ray.pipelines.ingest import init_lake, read_lake, run_ingest
+
+    out_dir = str(tmp_path / "handoff_segments")
+    t = threading.Thread(
+        target=tail_binlog_to_segments,
+        args=(out_dir,),
+        kwargs=dict(port=replay.port, user="repl", password="secret", start_file="binlog.000001"),
+    )
+    t.start()
+
+    n_parts = 8
+    lake_dir = str(tmp_path / "handoff_lake")
+    init_lake(pq.read_table(fixture_paths["base_lake"]), lake_dir, n_parts)
+
+    originals = {os.path.basename(p) for p in fixture_paths["segment_paths"]}
+
+    def closed_segments():
+        if not os.path.isdir(out_dir):
+            return []
+        return sorted(
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.startswith("binlog.") and f in originals
+        )
+
+    # consume mid-stream: ingest as soon as the first segment closes
+    deadline = time.time() + 30
+    while time.time() < deadline and not closed_segments():
+        time.sleep(0.01)
+    first_batch = closed_segments()
+    assert first_batch, "tailer closed no segments in time"
+    run_ingest(first_batch, lake_dir, num_partitions=n_parts, concurrency=2)
+
+    t.join(timeout=30)
+    assert not t.is_alive()
+    final_set = closed_segments()
+    assert {os.path.basename(p) for p in final_set} == originals
+    run_ingest(final_set, lake_dir, num_partitions=n_parts, concurrency=2)
+
+    # ground truth: direct ingest of the fixture segments
+    ref_lake = str(tmp_path / "ref_lake")
+    init_lake(pq.read_table(fixture_paths["base_lake"]), ref_lake, n_parts)
+    run_ingest(fixture_paths["segment_paths"], ref_lake, num_partitions=n_parts, concurrency=2)
+
+    got = read_lake(lake_dir).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = read_lake(ref_lake).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

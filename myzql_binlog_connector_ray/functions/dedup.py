@@ -224,24 +224,25 @@ class MinHasher:
 
     def _band_hashes(self, sigs: np.ndarray) -> np.ndarray:
         """All band keys for a signature block, doc-major layout
-        (``out[i*nb + b]`` = band b of doc i). The digest INPUT — the
-        comma-joined decimal encoding of each band's minhash values —
-        is built for the whole batch with vectorized ``np.char`` ops;
-        only the md5 itself runs per (doc, band), which is the spec
-        (see ``band_hash``; equality pinned in tests)."""
+        (``out[i*nb + b]`` = band b of doc i). Decimal formatting runs
+        once for the whole block (``ravel().tolist()`` + one
+        ``map(str, ...)`` pass — measured faster than ``astype('U10')``
+        and ~2× faster than a ``np.char.add`` build, which re-allocates
+        per op and is not actually vectorized), leaving only the 8-way
+        join + md5 per (doc, band), which IS the spec (see
+        ``band_hash``; equality pinned in tests)."""
         n = sigs.shape[0]
         nb, rpb = self.num_bands, self.rows_per_band
+        nperm = self.num_perm
         out = np.empty(n * nb, dtype=np.int64)
-        dec = sigs.astype("U10")  # minhash values < 2^31 → ≤ 10 digits
+        strs = list(map(str, sigs.ravel().tolist()))
         md5 = hashlib.md5
-        for b in range(nb):
-            cols = dec[:, b * rpb : (b + 1) * rpb]
-            s = cols[:, 0]
-            for j in range(1, rpb):
-                s = np.char.add(np.char.add(s, ","), cols[:, j])
-            out[b::nb] = [
-                int.from_bytes(md5(x.encode()).digest()[:8], "big") >> 4 for x in s
-            ]
+        k = 0
+        for base in range(0, n * nperm, nperm):
+            for b0 in range(base, base + nperm, rpb):
+                s = ",".join(strs[b0 : b0 + rpb])
+                out[k] = int.from_bytes(md5(s.encode()).digest()[:8], "big") >> 4
+                k += 1
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:

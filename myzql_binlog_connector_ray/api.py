@@ -1057,6 +1057,172 @@ def ann_topk_ivf(sf_dir: str, *, k: int = 10, num_queries: int = 5, n_lists: int
     return merge_topk(partials.to_pandas(), k=k).rename(columns={"rank": "rk"})
 
 
+def dedup_clusters(sf_dir: str, *, max_iters: int = 12):
+    """Connected-components dedup clustering — the step after candidate
+    generation in a real curation pipeline: union near-dup pairs into
+    clusters and label every doc with its cluster representative (min
+    doc_id), so downstream keeps exactly one doc per cluster.
+
+    Distributed shape: iterative min-label propagation over the
+    (symmetrized) minhash candidate edges. Each round is two bounded
+    exchanges — a bucketed hash join attaching the current label of
+    every edge source, then a combiner-tree min per node — and the
+    driver sees ONE scalar per round (the label sum, monotonically
+    decreasing) for the convergence test. Rounds needed = cluster
+    diameter, not corpus size; labels/edges ship as 2-3 int64 columns.
+    The DuckDB oracle recomputes the fixpoint with a recursive CTE."""
+    from .functions.agg import combiner_aggregate
+    from .functions.relational import bucket_lookup_join
+
+    corpus = _dup_corpus(sf_dir)
+    pairs = _minhash_pairs(corpus).materialize()
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    labels = corpus.map_batches(
+        lambda t: pa.table({"node": t["doc_id"], "label": t["doc_id"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    from ray.data.aggregate import Sum as _Sum
+
+    prev_sum = None
+    for _ in range(max_iters):
+        cand = bucket_lookup_join(
+            edges, labels, left_key="src", right_key="node",
+            value_col="label", out_col="lbl", value_type=pa.int64(), num_buckets=16,
+        )
+        prop = cand.map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["lbl"]}), batch_format="pyarrow"
+        )
+        labels = combiner_aggregate(
+            labels.union(prop), ["node"], [("label", "min", "label")], num_parts=16
+        ).materialize()
+        s = labels.aggregate(_Sum("label", alias_name="s"))["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def quality_gopher_by_lang(
+    sf_dir: str,
+    *,
+    min_words: int = 40,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 4.5,
+    min_stop_ratio: float = 0.06,
+    min_uniq_ratio: float = 0.5,
+):
+    """Gopher-style repetition/quality gates (Rae et al. 2021 §A1.1, the
+    public heuristics): word-count bounds, mean-word-length band,
+    stopword-ratio floor, distinct-token-fraction floor — per-language pass
+    counts. All rules are integer/double arithmetic DuckDB recomputes
+    exactly. Scale shape: one vectorized map stage (segmented numpy
+    reductions over the token stream), then a |langs|-row aggregate."""
+    from .functions.text import _LANG_PROFILES
+
+    stops = _LANG_PROFILES["en"]
+
+    def gates(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        tok_lists = [s.split() for s in texts]
+        n_words = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+        flat = [w for tl in tok_lists for w in tl]
+        tok_len = np.fromiter(map(len, flat), dtype=np.int64, count=len(flat))
+        is_stop = np.fromiter((w in stops for w in flat), dtype=np.int64, count=len(flat))
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(n_words[:-1], out=offsets[1:])
+        nz = n_words > 0
+        sum_len = np.zeros(len(texts), dtype=np.int64)
+        n_stop = np.zeros(len(texts), dtype=np.int64)
+        if nz.any() and len(flat):
+            red_offsets = offsets[nz]
+            sum_len[nz] = np.add.reduceat(tok_len, red_offsets)
+            n_stop[nz] = np.add.reduceat(is_stop, red_offsets)
+        denom = np.maximum(n_words, 1)
+        mean_len = sum_len / denom
+        stop_ratio = n_stop / denom
+        n_uniq = np.array([len(set(tl)) for tl in tok_lists], dtype=np.int64)
+        uniq_ratio = n_uniq / denom
+        ok_words = (n_words >= min_words) & (n_words <= max_words)
+        ok_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+        ok_stop = stop_ratio >= min_stop_ratio
+        # Gopher's repetition gate: low distinct-token fraction = boilerplate
+        ok_uniq = uniq_ratio >= min_uniq_ratio
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "ok_words": pa.array(ok_words.astype(np.int64), pa.int64()),
+                "ok_mean": pa.array(ok_mean.astype(np.int64), pa.int64()),
+                "ok_stop": pa.array(ok_stop.astype(np.int64), pa.int64()),
+                "ok_uniq": pa.array(ok_uniq.astype(np.int64), pa.int64()),
+                "ok_all": pa.array(
+                    (ok_words & ok_mean & ok_stop & ok_uniq).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from .functions.agg import combiner_aggregate
+
+    ds = _docs_ds(sf_dir, ["text", "lang"])
+    gated = ds.map_batches(gates, batch_format="pyarrow")
+    return combiner_aggregate(
+        gated,
+        ["lang"],
+        [
+            (None, "count", "n_docs"),
+            ("ok_words", "sum", "n_ok_words"),
+            ("ok_mean", "sum", "n_ok_mean_len"),
+            ("ok_stop", "sum", "n_ok_stop_ratio"),
+            ("ok_uniq", "sum", "n_ok_uniq"),
+            ("ok_all", "sum", "n_pass_all"),
+        ],
+        num_parts=8,
+    )
+
+
+def documents_stratified_sample(sf_dir: str, *, en_percent: int = 10, other_percent: int = 30):
+    """Stratified deterministic sampling: per-language rates from ONE
+    md5(doc_id) hashing pass (downsample the dominant language, keep
+    more of the tail — the standard data-mix rebalancing primitive).
+    Same reproducibility story as documents_hash_sample: no RNG state,
+    identical rows at any cluster size."""
+
+    ds = _docs_ds(sf_dir, ["doc_id", "lang"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        dec = np.char.mod("%d", t["doc_id"].to_numpy(zero_copy_only=False))
+        md5 = _h.md5
+        bucket = np.fromiter(
+            (int.from_bytes(md5(s.encode()).digest()[:4], "big") % 100 for s in dec),
+            dtype=np.int64,
+            count=len(dec),
+        )
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        rate = np.where(langs == "en", en_percent, other_percent)
+        return t.filter(pa.array(bucket < rate))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
 def token_count_bpe_by_lang(sf_dir: str, *, concurrency=(1, 2)):
     """BPE-ish token counts (GPT-2-style pre-tokenizer regex), per lang."""
     from .functions.text import BpeishTokenCounter

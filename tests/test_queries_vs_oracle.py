@@ -99,6 +99,9 @@ SQL_CHECKED = [
     # round 3: the last two rows-only queries gained oracles
     "ann_topk_ivf",  # one-pass IVF training spec recomputed closed-form
     "ingest_exactly_once",  # double-replay lake == single-replay lake SQL
+    "dedup_clusters",  # connected components vs recursive-CTE fixpoint
+    "quality_gopher_by_lang",  # Gopher-style gates, every gate discriminating
+    "documents_stratified_sample",  # per-language md5 rates from one pass
 ]
 
 

@@ -177,6 +177,8 @@ def run_bench() -> dict:
         timed("simhash_dup_pairs", api.simhash_dup_pairs)
         timed("events_value_percentiles", api.events_value_percentiles)
         timed("top_orders_per_priority", api.top_orders_per_priority)
+        timed("dedup_clusters", api.dedup_clusters)
+        timed("quality_gopher_by_lang", api.quality_gopher_by_lang)
 
     queries["ingest"] = round(ingest_sec, 4)
     if envelope_sec is not None:

@@ -1057,25 +1057,81 @@ def ann_topk_ivf(sf_dir: str, *, k: int = 10, num_queries: int = 5, n_lists: int
     return merge_topk(partials.to_pandas(), k=k).rename(columns={"rank": "rk"})
 
 
-def dedup_clusters(sf_dir: str, *, max_iters: int = 12):
+def dedup_clusters(
+    sf_dir: str,
+    *,
+    max_iters: int = 12,
+    strategy: str = "auto",
+    driver_budget: int = 2_000_000,
+):
     """Connected-components dedup clustering — the step after candidate
     generation in a real curation pipeline: union near-dup pairs into
     clusters and label every doc with its cluster representative (min
-    doc_id), so downstream keeps exactly one doc per cluster.
+    doc_id), so downstream keeps exactly one doc per cluster. The
+    DuckDB oracle recomputes the fixpoint with a recursive CTE.
 
-    Distributed shape: iterative min-label propagation over the
-    (symmetrized) minhash candidate edges. Each round is two bounded
-    exchanges — a bucketed hash join attaching the current label of
-    every edge source, then a combiner-tree min per node — and the
-    driver sees ONE scalar per round (the label sum, monotonically
-    decreasing) for the convergence test. Rounds needed = cluster
-    diameter, not corpus size; labels/edges ship as 2-3 int64 columns.
-    The DuckDB oracle recomputes the fixpoint with a recursive CTE."""
+    ``strategy`` (the same auto-switch shape as minhash_dup_verified):
+    - "auto": count the candidate EDGES (metadata-cheap, materialized)
+      — while they fit ``driver_budget``, a driver union-find labels
+      the edge-touched nodes in one pass and the mapping broadcasts
+      via ``ray.put`` (singleton docs never leave the cluster); past
+      the budget, distributed min-label propagation takes over.
+    - "unionfind": path-compressed union-find over the collected pairs
+      (O(E α(E)) on the driver), roots normalized to each component's
+      min id; corpus labeling is one broadcast-lookup map stage.
+    - "propagate": iterative min-label propagation — per round, a
+      bucketed hash join attaches each edge source's current label and
+      a combiner-tree min folds it per node; the driver sees ONE
+      scalar per round (the monotone label sum) for convergence.
+      Rounds = cluster diameter. The unbounded-graph scale path.
+    """
     from .functions.agg import combiner_aggregate
     from .functions.relational import bucket_lookup_join
 
     corpus = _dup_corpus(sf_dir)
     pairs = _minhash_pairs(corpus).materialize()
+
+    if strategy == "auto":
+        strategy = "unionfind" if pairs.count() <= driver_budget else "propagate"
+
+    if strategy == "unionfind":
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in pairs.take_all():  # bounded by driver_budget
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        rep: dict[int, int] = {}
+        for x in parent:
+            r = find(x)
+            rep[r] = min(rep.get(r, x), x)
+        mapping = {x: rep[find(x)] for x in parent}
+        map_ref = ray.put(mapping)
+
+        def label_batch(t: pa.Table) -> pa.Table:
+            m = ray.get(map_ref)
+            ids = t["doc_id"].to_pylist()
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "cluster": pa.array([m.get(i, i) for i in ids], pa.int64()),
+                }
+            )
+
+        return corpus.select_columns(["doc_id"]).map_batches(label_batch, batch_format="pyarrow")
+
+    # -- distributed min-label propagation (unbounded-graph path) ------
 
     def symmetrize(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)

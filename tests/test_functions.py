@@ -358,3 +358,21 @@ def test_popcount64_matches_bit_count():
     got = popcount64(xs)
     want = np.array([int(x).bit_count() for x in xs], dtype=np.int64)
     assert np.array_equal(got, want)
+
+
+def test_dedup_cluster_strategies_agree(ray_session):
+    """Driver union-find and distributed min-label propagation must
+    produce identical (doc_id, cluster) labelings."""
+    import pandas as pd
+
+    from myzql_binlog_connector_ray import api
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    a = norm(api.dedup_clusters("/root/testdata/sf0.001", strategy="unionfind"))
+    b = norm(api.dedup_clusters("/root/testdata/sf0.001", strategy="propagate"))
+    pd.testing.assert_frame_equal(a, b)
+    # every cluster is labeled by its min member
+    assert (a.groupby("cluster")["doc_id"].min() == a["cluster"].sort_values().unique()).all()

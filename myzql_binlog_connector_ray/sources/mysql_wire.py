@@ -269,7 +269,16 @@ class MysqlConnection:
     # -- lifecycle --------------------------------------------------
 
     def connect(self) -> "MysqlConnection":
-        sock = socket.create_connection((self.host, self.port), timeout=self.connect_timeout)
+        # resolve with the reference's own order (literal → hosts → DNS
+        # A query, sources/dns.py mirroring src/dns.zig); fall back to
+        # the OS resolver if that fails so exotic setups still connect
+        try:
+            from .dns import resolve_host_to_ipv4
+
+            addr = resolve_host_to_ipv4(self.host)
+        except Exception:
+            addr = self.host
+        sock = socket.create_connection((addr, self.port), timeout=self.connect_timeout)
         sock.settimeout(self.connect_timeout)
         self.io = PacketIO(sock)
         hs = parse_handshake_v10(self.io.read_packet())

@@ -198,8 +198,10 @@ def export_envelope(
 def init_lake(base_table: pa.Table, lake_dir: str, num_partitions: int) -> None:
     """Materialize a base lake hash-partitioned the same way apply shuffles.
 
-    Driver-side (the base table is small fixture state); at scale this
-    would itself be a Dataset write with the same partition column.
+    Driver-side (the base table is small fixture state); the scale
+    path — a 100 TB snapshot bootstrap — is ``init_lake_distributed``,
+    which runs the same stamping + partitioned write as a Dataset job
+    (byte-equivalent lakes; equality test-pinned).
     """
     import pyarrow.parquet as pq
 
@@ -216,6 +218,50 @@ def init_lake(base_table: pa.Table, lake_dir: str, num_partitions: int) -> None:
             os.path.join(pdir, "data.parquet"),
             compression="zstd",
         )
+
+
+def init_lake_distributed(
+    base: ray.data.Dataset, lake_dir: str, num_partitions: int
+) -> list[dict]:
+    """Snapshot bootstrap as a Dataset job — the CDC engine's initial
+    load at scale: stamp sha256 lineage + the apply hash partition in
+    ``map_batches``, co-locate each partition with one shuffle, and
+    write every ``part=NNNN/data.parquet`` atomically inside its task
+    (tmp + ``os.replace``, overwrite-idempotent → a failed bootstrap
+    re-runs safely). The driver sees one summary row per partition.
+    Produces the same lake layout as the driver-side ``init_lake``
+    (single sorted data file per partition), so ``run_ingest`` applies
+    on top of either interchangeably."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import partition_dir
+
+    def stamp(t: pa.Table) -> pa.Table:
+        part = partition_of(t["repo"].to_pylist(), t["path"].to_pylist(), num_partitions)
+        t = t.append_column("content_sha256", pa.array(sha256_hex(t["content"].to_pylist()), pa.string()))
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def write_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        p = int(g["part"][0].as_py())
+        out = g.drop_columns(["part"])
+        # deterministic row order inside the file, like the pandas
+        # groupby path (stable within the partition by (repo, path))
+        out = out.take(pc.sort_indices(out, sort_keys=[("repo", "ascending"), ("path", "ascending")]))
+        pdir = partition_dir(lake_dir, p)
+        os.makedirs(pdir, exist_ok=True)
+        dest = os.path.join(pdir, "data.parquet")
+        tmp = dest + f".tmp-{_uuid.uuid4().hex}"
+        pq.write_table(out, tmp, compression="zstd")
+        os.replace(tmp, dest)
+        return pa.table({"part": pa.array([p], pa.int64()), "rows": pa.array([len(out)], pa.int64())})
+
+    stamped = base.map_batches(stamp, batch_format="pyarrow")
+    summaries = stamped.groupby("part").map_groups(write_part, batch_format="pyarrow")
+    return summaries.take_all()  # small: one row per partition
 
 
 def apply_changes(

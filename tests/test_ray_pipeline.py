@@ -234,3 +234,40 @@ def test_staged_exchange_clears_stale_staging(ray_session, fixture_paths, tmp_pa
     run_ingest(fixture_paths["segment_paths"], lake_dir, num_partitions=N_PARTS, concurrency=2)
     got = read_lake(lake_dir).to_pandas()
     assert not (got["content"] == "STALE CONTENT MUST NOT APPEAR").any()
+
+
+def test_init_lake_distributed_matches_driver(ray_session, fixture_paths, tmp_path, sf_dir):
+    """Distributed snapshot bootstrap == driver-side init_lake, and
+    run_ingest applies on top of it to the same final state."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from myzql_binlog_connector_ray.pipelines.ingest import init_lake_distributed
+
+    base = pq.read_table(fixture_paths["base_lake"])
+    lake_a = str(tmp_path / "lake_driver")
+    lake_b = str(tmp_path / "lake_dist")
+    init_lake(base, lake_a, N_PARTS)
+    summaries = init_lake_distributed(
+        ray.data.from_arrow(base), lake_b, N_PARTS
+    )
+    assert sum(s["rows"] for s in summaries) == len(base)
+
+    def snap(lake):
+        return (
+            read_lake(lake)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+            .reindex(sorted(["repo", "path", "commit", "lang", "content", "stars", "content_sha256"]), axis=1)
+        )
+
+    pd.testing.assert_frame_equal(snap(lake_a), snap(lake_b))
+
+    # ingest applies identically on the distributed bootstrap
+    run_ingest(fixture_paths["segment_paths"], lake_b, num_partitions=N_PARTS, concurrency=2)
+    want = _expected_final(sf_dir)
+    got = snap(lake_b)
+    pd.testing.assert_series_equal(
+        got["content_sha256"], want["content_sha256"], check_names=False
+    )

@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": api.top_tokens,
         "distinct_users_per_day": api.distinct_users_per_day,
         # round 3
+        "lake_repo_stats_incremental": api.lake_repo_stats_incremental,
         "dedup_clusters": api.dedup_clusters,
         "quality_gopher_by_lang": api.quality_gopher_by_lang,
         "documents_stratified_sample": api.documents_stratified_sample,
@@ -335,6 +336,18 @@ def oracle_sql() -> dict[str, str]:
         # exactly-once: the double-replay lake must equal the
         # single-replay final state, value-for-value
         "ingest_exactly_once": _LAKE_FINAL_SQL,
+        # IVM: the incrementally maintained per-repo view must equal
+        # stats recomputed closed-form over the expected FINAL lake
+        "lake_repo_stats_incremental": f"""
+            WITH d AS ({_D})
+            SELECT repo,
+                   count(*) AS n_files,
+                   CAST(sum(length(CASE WHEN v = 1 THEN text
+                                        ELSE text || ' [v' || v || ']' END)) AS BIGINT) AS content_chars
+            FROM d
+            WHERE doc_id % 5 <> 0
+            GROUP BY repo
+        """,
         "changes_count_by_dml": """
             WITH d AS (SELECT doc_id FROM documents)
             SELECT 'app' AS "database", 'repos' AS table_name, 'INSERT' AS dml_type,

@@ -175,6 +175,89 @@ def _docs_ds(sf_dir: str, columns=None):
     return _read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
+def lake_repo_stats_incremental(sf_dir: str, *, concurrency=None):
+    """Incremental view maintenance over the CDC stream: per-repo
+    (file count, content chars) maintained WITHOUT reading the final
+    lake — base-snapshot aggregates plus pure stream-delta algebra:
+    INSERT +1/+len(after), DELETE −1/−len(before), UPDATE
+    len(after)−len(before), folded per repo with the combiner tree and
+    added to the snapshot aggregate. Requires full row images (the
+    binlog default; DELETE/UPDATE before-images carry the old row),
+    and each event applied exactly once — both properties the engine
+    already guarantees. The oracle recomputes the FINAL lake stats
+    closed-form, so any drift between the view algebra and the actual
+    replay (a missed delete, a double-applied update, an inconsistent
+    before-image) fails the value check."""
+    import json as _json
+
+    from .functions.agg import combiner_aggregate
+
+    fx = _fixtures(sf_dir)
+
+    base = _read_parquet(fx["base_lake"], columns=["repo", "content"])
+
+    def base_stats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "d_files": pa.array(np.ones(len(t), dtype=np.int64)),
+                "d_chars": pc.cast(pc.utf8_length(t["content"]), pa.int64()),
+            }
+        )
+
+    changes = decode_envelope(
+        read_segments(fx["segment_paths"]), include=["app.repos"], concurrency=concurrency
+    )
+
+    def deltas(t: pa.Table) -> pa.Table:
+        loads = _json.loads
+        repo_out: list[str] = []
+        files_out: list[int] = []
+        chars_out: list[int] = []
+        for dml, bv, av in zip(
+            t["dml_type"].to_pylist(),
+            t["before_values"].to_pylist(),
+            t["after_values"].to_pylist(),
+        ):
+            if dml == "INSERT":
+                row = loads(av)
+                repo_out.append(row["c0"])
+                files_out.append(1)
+                chars_out.append(len(row["c4"]))
+            elif dml == "DELETE":
+                row = loads(bv)
+                repo_out.append(row["c0"])
+                files_out.append(-1)
+                chars_out.append(-len(row["c4"]))
+            else:  # UPDATE: content length delta, file count unchanged
+                b, a = loads(bv), loads(av)
+                repo_out.append(a["c0"])
+                files_out.append(0)
+                chars_out.append(len(a["c4"]) - len(b["c4"]))
+        return pa.table(
+            {
+                "repo": pa.array(repo_out, pa.string()),
+                "d_files": pa.array(files_out, pa.int64()),
+                "d_chars": pa.array(chars_out, pa.int64()),
+            }
+        )
+
+    combined = base.map_batches(base_stats, batch_format="pyarrow").union(
+        changes.map_batches(deltas, batch_format="pyarrow")
+    )
+    view = combiner_aggregate(
+        combined,
+        ["repo"],
+        [("d_files", "sum", "n_files"), ("d_chars", "sum", "content_chars")],
+        num_parts=16,
+    )
+    return view.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n_files"], 0)), batch_format="pyarrow"
+    )
+
+
 def dedup_exact(sf_dir: str):
     """Exact dedup: documents ∪ (shifted copy) → hash-group → keep min id.
 

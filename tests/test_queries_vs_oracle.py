@@ -100,6 +100,7 @@ SQL_CHECKED = [
     "ann_topk_ivf",  # one-pass IVF training spec recomputed closed-form
     "ingest_exactly_once",  # double-replay lake == single-replay lake SQL
     "dedup_clusters",  # connected components vs recursive-CTE fixpoint
+    "lake_repo_stats_incremental",  # IVM view == closed-form final-lake stats
     "quality_gopher_by_lang",  # Gopher-style gates, every gate discriminating
     "documents_stratified_sample",  # per-language md5 rates from one pass
 ]

@@ -38,7 +38,7 @@ def _segment_paths(cfg) -> list[str]:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="myzql-binlog-connector-ray")
-    parser.add_argument("mode", choices=["stdout", "parquet", "apply", "tail"])
+    parser.add_argument("mode", choices=["stdout", "parquet", "apply", "tail", "bootstrap"])
     parser.add_argument("config", help="path to job config JSON")
     parser.add_argument("-v", "--verbose", action="store_true", help="shorthand for --log-level debug")
     parser.add_argument(
@@ -89,6 +89,35 @@ def main(argv=None) -> int:
         for m in manifests:
             print(f"{m.segment}: {m.events} events, {m.bytes} bytes -> {m.path}")
         log.info("tailed %d segments into %s", len(manifests), cfg.segments_dir)
+        return 0
+
+    if args.mode == "bootstrap":
+        # distributed snapshot load: base_snapshot parquet → partitioned lake
+        if not cfg.base_snapshot:
+            raise SystemExit("bootstrap mode needs base_snapshot in the config")
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(
+                address="local",
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="INFO" if args.verbose else "ERROR",
+            )
+        try:
+            import ray.data
+
+            from .pipelines.ingest import init_lake_distributed
+
+            lake = cfg.lake_dir or os.path.join(cfg.output_dir, "lake")
+            summaries = init_lake_distributed(
+                ray.data.read_parquet(cfg.base_snapshot), lake, cfg.num_partitions
+            )
+            rows = sum(s["rows"] for s in summaries)
+            print(f"bootstrapped {lake}: {len(summaries)} partitions, {rows} rows")
+            log.info("bootstrap: %d rows into %d partitions", rows, len(summaries))
+        finally:
+            ray.shutdown()
         return 0
 
     paths = _segment_paths(cfg)

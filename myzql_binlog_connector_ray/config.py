@@ -44,6 +44,7 @@ class JobConfig:
     segments_dir: str = ""
     output_dir: str = "output"
     lake_dir: Optional[str] = None
+    base_snapshot: Optional[str] = None  # bootstrap mode: parquet of the initial table state
 
     from_binlog_file: Optional[str] = None
     from_binlog_position: int = 4

@@ -125,3 +125,32 @@ def test_scoped_logger_unit(tmp_path):
     text = logf.read_text()
     assert "debug(decode): hello 7" in text
     assert "info: plain" in text
+
+
+def test_cli_bootstrap_mode(fixture_paths, tmp_path):
+    """bootstrap mode: base_snapshot parquet → distributed partitioned
+    lake, then apply mode ingests the change stream on top of it."""
+    cfg = {
+        "segments_dir": fixture_paths["segments_dir"],
+        "output_dir": str(tmp_path / "out"),
+        "lake_dir": str(tmp_path / "lake"),
+        "base_snapshot": fixture_paths["base_lake"],
+        "num_partitions": 4,
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    r = _run_cli("bootstrap", str(cfg_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "bootstrapped" in r.stdout
+    assert len(glob.glob(os.path.join(cfg["lake_dir"], "part=*", "data.parquet"))) == 4
+    r2 = _run_cli("apply", str(cfg_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "partitions committed" in r2.stdout
+
+
+def test_cli_bootstrap_requires_snapshot(tmp_path):
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps({"segments_dir": str(tmp_path), "num_partitions": 2}))
+    r = _run_cli("bootstrap", str(cfg_path))
+    assert r.returncode != 0
+    assert "base_snapshot" in (r.stderr + r.stdout)

@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": api.dedup_clusters,
         "quality_gopher_by_lang": api.quality_gopher_by_lang,
         "documents_stratified_sample": api.documents_stratified_sample,
+        "unigram_logprob_by_lang": api.unigram_logprob_by_lang,
     }
 
 
@@ -753,6 +754,41 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk <= 10
         """,
         "quality_gopher_by_lang": _gopher_sql(),
+        # unigram LM quality scores: counts over the full corpus, vocab
+        # capped by (count desc, token asc), Laplace smoothing with an
+        # OOV class, per-doc mean NLL averaged per language; round(6)
+        # absorbs libm ulp differences between numpy log and DuckDB ln
+        "unigram_logprob_by_lang": """
+            WITH toks AS (
+              SELECT lang, doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+              FROM documents WHERE trim(text) <> ''
+            ),
+            counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+            vocab AS (
+              SELECT w, c FROM (
+                SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM counts
+              ) WHERE rk <= 65536
+            ),
+            consts AS (
+              SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM counts) AS total,
+                     (SELECT count(*) FROM vocab) AS v
+            ),
+            doc AS (
+              SELECT t.lang, t.doc_id,
+                     avg(-ln((coalesce(vb.c, 0) + 1) / (consts.total + consts.v + 1))) AS nll
+              FROM toks t
+              LEFT JOIN vocab vb ON vb.w = t.w
+              CROSS JOIN consts
+              GROUP BY t.lang, t.doc_id
+            ),
+            final AS (
+              SELECT a.lang, coalesce(d.nll, 0.0) AS nll
+              FROM documents a LEFT JOIN doc d ON d.doc_id = a.doc_id
+            )
+            SELECT lang, count(*) AS n_docs, round(avg(nll), 6) AS avg_nll
+            FROM final GROUP BY lang
+        """,
         "documents_stratified_sample": """
             SELECT doc_id, lang
             FROM documents

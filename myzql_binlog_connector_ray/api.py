@@ -1373,6 +1373,86 @@ def token_count_bpe_by_lang(sf_dir: str, *, concurrency=(1, 2)):
     )
 
 
+def unigram_logprob_by_lang(sf_dir: str, *, vocab_cap: int = 65536):
+    """CCNet-style unigram LM quality scoring: per-doc mean negative
+    log-probability under a corpus-trained unigram model with Laplace
+    smoothing, averaged per language (the cheap stand-in for the KenLM
+    perplexity filter real curation pipelines run).
+
+    Two passes, both scale-safe:
+    1. global token counts via the combiner tree (the exchange is
+       bounded by vocabulary, not token count), capped at ``vocab_cap``
+       by (count desc, token asc) before the driver collects — tokens
+       past the cap score as OOV;
+    2. the log-prob table broadcasts once via ``ray.put``; scoring is a
+       map stage; per-language means come from one |langs|-row
+       combine. Scores round to 6 decimals so libm ulp differences
+       between numpy and DuckDB ``ln`` can't flip the value hash."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from .functions.agg import combiner_aggregate
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text", "lang"])
+
+    def tokenize_count(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        vc = flat.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "n_p": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    counts = combiner_aggregate(
+        ds.map_batches(tokenize_count, batch_format="pyarrow"), ["token"], [("n_p", "sum", "n")]
+    )
+    total = counts.aggregate(Sum("n", alias_name="s"))["s"]
+    vocab_rows = (
+        counts.sort(["n", "token"], descending=[True, False]).limit(vocab_cap).take_all()
+    )  # ≤ vocab_cap rows on the driver
+    v = len(vocab_rows)
+    denom = float(total + v + 1)
+    logp = {r["token"]: math.log((r["n"] + 1) / denom) for r in vocab_rows}
+    oov = math.log(1.0 / denom)
+    logp_ref = ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        lp = ray.get(logp_ref)
+        out = []
+        for s in t["text"].to_pylist():
+            toks = s.lower().split()
+            if not toks:
+                out.append(0.0)
+                continue
+            out.append(-sum(lp.get(w, oov) for w in toks) / len(toks))
+        return pa.table({"lang": t["lang"], "nll": pa.array(out, pa.float64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    agg = combiner_aggregate(
+        scored, ["lang"], [(None, "count", "n_docs"), ("nll", "sum", "_s")], num_parts=8
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": t["n_docs"],
+                "avg_nll": pa.array(
+                    np.round(
+                        t["_s"].to_numpy(zero_copy_only=False)
+                        / t["n_docs"].to_numpy(zero_copy_only=False),
+                        6,
+                    ),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def corpus_curation_stats(sf_dir: str, *, min_tokens: int = 30):
     """Composite training-data curation pipeline — language ID →
     token-count quality gate → exact dedup → per-language corpus stats,

@@ -103,6 +103,7 @@ SQL_CHECKED = [
     "lake_repo_stats_incremental",  # IVM view == closed-form final-lake stats
     "quality_gopher_by_lang",  # Gopher-style gates, every gate discriminating
     "documents_stratified_sample",  # per-language md5 rates from one pass
+    "unigram_logprob_by_lang",  # CCNet-ish unigram LM quality scores
 ]
 
 

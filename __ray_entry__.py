@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gopher_by_lang": api.quality_gopher_by_lang,
         "documents_stratified_sample": api.documents_stratified_sample,
         "unigram_logprob_by_lang": api.unigram_logprob_by_lang,
+        "curated_export_summary": api.curated_export_summary,
     }
 
 
@@ -528,6 +529,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM dedup GROUP BY lang_pred
         """,
+        # write-side curation: the shards READ BACK from disk must
+        # aggregate to the same closed-form curation stats
+        "curated_export_summary": """
+            WITH scored AS (
+              SELECT doc_id, text,
+                     {langid} AS lang_pred,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+              FROM (SELECT doc_id, text, {scores} FROM documents)
+            ),
+            corpus AS (
+              SELECT doc_id, text, lang_pred, n_tokens FROM scored
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang_pred, n_tokens FROM scored
+            ),
+            kept AS (SELECT * FROM corpus WHERE n_tokens >= 30),
+            dedup AS (
+              SELECT md5(text) AS h, min(doc_id) AS doc_id,
+                     min(lang_pred) AS lang_pred, min(n_tokens) AS n_tokens
+              FROM kept GROUP BY md5(text)
+            )
+            SELECT lang_pred, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM dedup GROUP BY lang_pred
+        """.replace("{langid}", _langid_case()).replace("{scores}", _langid_scores()),
         "events_order_value_range_join": """
             SELECT o_orderpriority, count(*) AS n_pairs
             FROM events e

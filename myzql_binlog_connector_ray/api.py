@@ -1494,6 +1494,80 @@ def corpus_curation_stats(sf_dir: str, *, min_tokens: int = 30):
     )
 
 
+def curated_export_summary(sf_dir: str, *, min_tokens: int = 30, num_parts: int = 16):
+    """The WRITE side of curation: language-ID → quality gate → exact
+    dedup (keeping each cluster's min-id doc WITH its text) → training
+    shards written as lang-partitioned parquet — then read BACK and
+    aggregated, so the oracle validates the bytes on disk, not an
+    in-flight Dataset.
+
+    Scale shape: the dedup here must carry text (the export needs it),
+    so text crosses exactly ONE hash exchange — partitioned by
+    content_hash, each partition keeps its min-id row per hash with a
+    vectorized lexsort + boundary take (no per-key map_groups) — and
+    the shard write is Ray's native partitioned ``write_parquet``
+    (one directory per language → resumable, re-runnable per
+    partition)."""
+    import shutil as _shutil
+
+    from .functions.agg import combiner_aggregate, hash_part
+
+    out_dir = os.path.join(WORK_DIR, f"curated_{os.path.basename(os.path.normpath(sf_dir))}")
+    _shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    dup = ds.map_batches(
+        lambda t: t.set_column(0, "doc_id", pa.compute.add(t["doc_id"], 1_000_000)),
+        batch_format="pyarrow",
+    )
+    corpus = ds.union(dup)
+    corpus = corpus.map_batches(_task_stage(LanguageId), batch_format="pyarrow")
+    corpus = corpus.map_batches(token_count_batch, batch_format="pyarrow")
+    kept = corpus.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["n_tokens"], min_tokens)),
+        batch_format="pyarrow",
+    )
+    hashed = kept.map_batches(add_content_hash, batch_format="pyarrow")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = hash_part(t, ["content_hash"], num_parts)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def keep_min_per_hash(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if not len(g):
+            return g.drop_columns(["_part"])
+        idx = pc.sort_indices(
+            g, sort_keys=[("content_hash", "ascending"), ("doc_id", "ascending")]
+        )
+        s = g.take(idx)
+        h = np.asarray(s["content_hash"].to_pylist(), dtype=object)
+        first = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        return s.take(pa.array(first)).drop_columns(["_part"])
+
+    uniq = hashed.map_batches(add_part, batch_format="pyarrow").groupby("_part").map_groups(
+        keep_min_per_hash, batch_format="pyarrow"
+    )
+    uniq.write_parquet(out_dir, partition_cols=["lang_pred"])
+
+    shards = ray.data.read_parquet(out_dir)
+    return combiner_aggregate(
+        shards.map_batches(
+            lambda t: pa.table(
+                {
+                    "lang_pred": pa.compute.cast(t["lang_pred"], pa.string()),
+                    "n_tokens": t["n_tokens"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["lang_pred"],
+        [(None, "count", "n_docs"), ("n_tokens", "sum", "total_tokens")],
+        num_parts=4,
+    )
+
+
 def simhash_dup_pairs(
     sf_dir: str,
     *,

@@ -104,6 +104,7 @@ SQL_CHECKED = [
     "quality_gopher_by_lang",  # Gopher-style gates, every gate discriminating
     "documents_stratified_sample",  # per-language md5 rates from one pass
     "unigram_logprob_by_lang",  # CCNet-ish unigram LM quality scores
+    "curated_export_summary",  # write-side curation: shards read back from disk
 ]
 
 

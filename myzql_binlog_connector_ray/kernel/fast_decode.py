@@ -134,31 +134,72 @@ def make_column_decoder(col_type: int, meta: int, plain: bool) -> Decoder:
     return f
 
 
+def _codegen_parse_image(column_types, column_meta, plain, fallback_decoders):
+    """exec-codegen one flat image decoder per table layout.
+
+    The per-column closure path allocates a ``(value, pos)`` tuple per
+    value; with ~6 values/row that tuple churn is measurable at binlog
+    scale. The generated function inlines the hot types (VARCHAR and
+    fixed-width numerics) as straight-line code with per-column null
+    checks; long-tail types call the prebuilt closure for that column.
+    Equality with the closure path is pinned by tests/test_fast_decode.
+    """
+    n = len(column_types)
+    bl = (n + 7) // 8
+    ns = {
+        "_uh": _unpack_h,
+        "_ui": _unpack_i,
+        "_uq": _unpack_q,
+        "_uf": _unpack_f,
+        "_ud": _unpack_d,
+    }
+    lines = ["def parse_image(data, pos):"]
+    if bl == 1:
+        lines.append("    nb = data[pos]; pos += 1")
+    else:
+        lines.append(f"    nb = int.from_bytes(data[pos:pos+{bl}], 'little'); pos += {bl}")
+    for k, (t, m) in enumerate(zip(column_types, column_meta)):
+        lines.append(f"    if nb & {1 << k}:")
+        lines.append(f"        v{k} = None")
+        lines.append("    else:")
+        if t in (ColumnType.VARCHAR, ColumnType.VAR_STRING):
+            if m < 256:
+                pre = "        _l = data[pos]; pos += 1; _e = pos + _l"
+            else:
+                pre = "        _l = data[pos] | (data[pos+1] << 8); pos += 2; _e = pos + _l"
+            if plain:
+                body = pre + f"\n        v{k} = data[pos:_e].decode('utf-8','replace'); pos = _e"
+            else:
+                body = pre + f"\n        v{k} = ('str', bytes(data[pos:_e])); pos = _e"
+        elif t == ColumnType.LONG:
+            body = f"        v{k} = _ui(data, pos)[0]; pos += 4"
+        elif t == ColumnType.LONGLONG:
+            body = f"        v{k} = _uq(data, pos)[0]; pos += 8"
+        elif t == ColumnType.SHORT:
+            body = f"        v{k} = _uh(data, pos)[0]; pos += 2"
+        elif t == ColumnType.TINY:
+            body = f"        v{k} = data[pos]; pos += 1\n        if v{k} >= 128: v{k} -= 256"
+        elif t == ColumnType.FLOAT:
+            body = f"        v{k} = _uf(data, pos)[0]; pos += 4"
+        elif t == ColumnType.DOUBLE:
+            body = f"        v{k} = _ud(data, pos)[0]; pos += 8"
+        else:
+            ns[f"_d{k}"] = fallback_decoders[k]
+            body = f"        v{k}, pos = _d{k}(data, pos)"
+        lines.append(body)
+    vals = ", ".join(f"v{k}" for k in range(n))
+    lines.append(f"    return [{vals}], pos")
+    exec("\n".join(lines), ns)
+    return ns["parse_image"]
+
+
 class CompiledTableDecoder:
     """Per-(types, meta) compiled row-event decoder."""
 
     def __init__(self, column_types: list[int], column_meta: list[int], plain: bool):
         self.decoders = [make_column_decoder(t, m, plain) for t, m in zip(column_types, column_meta)]
         self.ncols = len(self.decoders)
-
-    def parse_image(self, data: bytes, pos: int) -> tuple[list, int]:
-        """All-columns-present image (the fixture/MySQL default)."""
-        n = self.ncols
-        bitmap_len = (n + 7) // 8
-        nb = int.from_bytes(data[pos : pos + bitmap_len], "little")
-        pos += bitmap_len
-        decoders = self.decoders
-        if nb == 0:
-            values = [None] * n
-            for i in range(n):
-                values[i], pos = decoders[i](data, pos)
-            return values, pos
-        values = [None] * n
-        for i in range(n):
-            if (nb >> i) & 1:
-                continue
-            values[i], pos = decoders[i](data, pos)
-        return values, pos
+        self.parse_image = _codegen_parse_image(column_types, column_meta, plain, self.decoders)
 
 
 def parse_row_event_fast(

@@ -42,8 +42,22 @@ ORDER_COLS = ["ordinal", "event_row_index"]
 
 
 def partition_of(repo_arr, path_arr, num_partitions: int) -> np.ndarray:
-    """Deterministic partition id from (repo, path) — stable across processes."""
-    keys = np.asarray([f"{r}\x00{p}" for r, p in zip(repo_arr, path_arr)], dtype=object)
+    """Deterministic partition id from (repo, path) — stable across processes.
+
+    Accepts Arrow arrays (fast path: C-speed key join, no per-row
+    Python string build) or plain Python sequences. pandas' siphash of
+    a str equals the siphash of its utf-8 bytes, so both paths produce
+    identical partition ids (pinned by test).
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(repo_arr, (pa.Array, pa.ChunkedArray)):
+        joined = pc.binary_join_element_wise(
+            pc.cast(repo_arr, pa.binary()), pc.cast(path_arr, pa.binary()), b"\x00"
+        )
+        keys = joined.to_numpy(zero_copy_only=False)
+    else:
+        keys = np.asarray([f"{r}\x00{p}" for r, p in zip(repo_arr, path_arr)], dtype=object)
     # categorize=False: with the default categorize=True, pandas hashes via a
     # Categorical and arrays containing duplicates come back with different
     # hashes than standalone values — which silently splits a key from its
@@ -53,7 +67,7 @@ def partition_of(repo_arr, path_arr, num_partitions: int) -> np.ndarray:
 
 def add_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
     """map_batches stage (stateless task): append part = hash(repo, path) % P."""
-    part = partition_of(batch["repo"].to_pylist(), batch["path"].to_pylist(), num_partitions)
+    part = partition_of(batch["repo"], batch["path"], num_partitions)
     return batch.append_column("part", pa.array(part, pa.int32()))
 
 

@@ -417,63 +417,106 @@ class SegmentDecoder:
             }
         )
 
+    @staticmethod
+    def _pivot_images(images, ncols):
+        """Row-major image lists → ncols column lists.
+
+        ``zip(*images)`` transposes at C speed when every image is full
+        width (the overwhelmingly common case); mixed widths (schema
+        evolution inside one batch) pad with None in the slow path.
+        """
+        if not images:
+            return [[] for _ in range(ncols)]
+        if all(len(img) == ncols for img in images):
+            return list(zip(*images))
+        return [
+            [img[i] if i < len(img) else None for img in images] for i in range(ncols)
+        ]
+
     def _typed_collect_all(self, names, blobs, col_names, ncols):
+        import os
+
         seg_l: list = []
         ord_l: list = []
         eri_l: list = []
         dml_l: list = []
-        col_lists: list[list] = [[] for _ in range(ncols)]
+        images: list = []
 
         def sink(name, ev, ordinal, tm, dml, rows):
-            import os
-
             seg = os.path.basename(name)
-            for idx, (before, after) in enumerate(rows):
-                image = after if after is not None else before
+            if not rows:
+                return
+            f0 = rows[0][1] if rows[0][1] is not None else rows[0][0]
+            # pad pre-evolution (narrow) images once per event so the
+            # pivot always takes the C-speed zip transpose
+            pad = [None] * (ncols - len(f0)) if len(f0) < ncols else None
+            idx = 0
+            for before, after in rows:
+                idx += 1
                 seg_l.append(seg)
                 ord_l.append(ordinal)
-                eri_l.append(idx + 1)
+                eri_l.append(idx)
                 dml_l.append(dml)
-                ni = len(image)
-                for i in range(ncols):
-                    col_lists[i].append(image[i] if i < ni else None)
+                image = after if after is not None else before
+                images.append(image if pad is None else image + pad)
 
         for name, blob in zip(names, blobs):
             self._decode_segment(name, blob, sink)
-        return seg_l, ord_l, eri_l, dml_l, col_lists
+        return seg_l, ord_l, eri_l, dml_l, self._pivot_images(images, ncols)
 
     def _typed_collect_dedup(self, names, blobs, col_names, ncols):
-        """Latest change per key via dict overwrite (fused LWW combiner)."""
+        """Latest change per key via dict overwrite (fused LWW combiner).
+
+        Segments are decoded in file-name order; binlog file names are
+        monotone in commit ordinal (a later file holds later
+        transactions), events within a segment arrive in ordinal order
+        and rows within an event in row order — so plain dict
+        assignment IS last-writer-wins, with no per-row ordinal
+        compare. Short images (pre-evolution schema narrower than the
+        key columns) take the padded slow path.
+        """
         key_idx = [col_names.index(k) for k in self.dedup_keys]
+        max_key = max(key_idx)
+        k0 = key_idx[0]
+        k1 = key_idx[1] if len(key_idx) == 2 else None
         store: dict = {}
 
         def sink(name, ev, ordinal, tm, dml, rows):
             import os
 
             seg = os.path.basename(name)
+            if not rows:
+                return
+            b0, a0 = rows[0]
+            first = a0 if a0 is not None else b0
+            w = len(first)
+            if w == ncols and k1 is not None:
+                # hot path: full-width image, two key columns
+                idx = 0
+                for before, after in rows:
+                    image = after if after is not None else before
+                    idx += 1
+                    store[(image[k0], image[k1])] = (seg, ordinal, idx, dml, image)
+                return
+            # pre-evolution (narrow) image or generic key shape: pad once
+            # per event so the pivot always zip-transposes
+            pad = [None] * (ncols - w) if w < ncols else []
             for idx, (before, after) in enumerate(rows):
                 image = after if after is not None else before
-                key = tuple(image[i] if i < len(image) else None for i in key_idx)
-                prev = store.get(key)
-                # events arrive in ordinal order per segment; the guard
-                # keeps correctness if a batch mixes segments out of order
-                if prev is None or (ordinal, idx + 1) >= (prev[1], prev[2]):
-                    store[key] = (seg, ordinal, idx + 1, dml, image)
+                if pad:
+                    image = image + pad
+                key = tuple(image[i] for i in key_idx)
+                store[key] = (seg, ordinal, idx + 1, dml, image)
 
-        for name, blob in zip(names, blobs):
+        import os
+
+        for name, blob in sorted(zip(names, blobs), key=lambda nb: os.path.basename(nb[0])):
             self._decode_segment(name, blob, sink)
 
-        seg_l: list = []
-        ord_l: list = []
-        eri_l: list = []
-        dml_l: list = []
-        col_lists: list[list] = [[] for _ in range(ncols)]
-        for seg, ordinal, eri, dml, image in store.values():
-            seg_l.append(seg)
-            ord_l.append(ordinal)
-            eri_l.append(eri)
-            dml_l.append(dml)
-            ni = len(image)
-            for i in range(ncols):
-                col_lists[i].append(image[i] if i < ni else None)
-        return seg_l, ord_l, eri_l, dml_l, col_lists
+        vals = store.values()
+        seg_l = [v[0] for v in vals]
+        ord_l = [v[1] for v in vals]
+        eri_l = [v[2] for v in vals]
+        dml_l = [v[3] for v in vals]
+        images = [v[4] for v in vals]
+        return seg_l, ord_l, eri_l, dml_l, self._pivot_images(images, ncols)

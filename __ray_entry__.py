@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_stratified_sample": api.documents_stratified_sample,
         "unigram_logprob_by_lang": api.unigram_logprob_by_lang,
         "curated_export_summary": api.curated_export_summary,
+        "pii_redaction_stats": api.pii_redaction_stats,
+        "benchmark_decontamination": api.benchmark_decontamination,
     }
 
 
@@ -332,8 +334,75 @@ _LAKE_FINAL_SQL = f"""
 """
 
 
+def _pii_sql() -> str:
+    """pii_redaction_stats recomputed in DuckDB: same planted corpus,
+    same RE2-compatible patterns (api.PII_PATTERNS is the shared spec),
+    same replacement order. Assembled via token replacement — the
+    patterns contain both '{}' and '%', so f-strings / %-format would
+    mangle them."""
+    from myzql_binlog_connector_ray.api import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    sql = """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 3000000,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.'
+                      || CAST(doc_id % 256 AS VARCHAR) || '.0.1 tel +1 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          FROM documents WHERE doc_id % 5 = 0
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text, '@EMAIL@')) AS n_email,
+               len(regexp_extract_all(text, '@IP@')) AS n_ip,
+               len(regexp_extract_all(text, '@PHONE@')) AS n_phone,
+               length(text) - length(
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '@EMAIL@', '[EMAIL]', 'g'),
+                   '@IP@', '[IP]', 'g'),
+                   '@PHONE@', '[PHONE]', 'g')) AS chars_removed
+        FROM corpus
+    """
+    for name, pat in pats.items():
+        sql = sql.replace(f"@{name.upper()}@", pat)
+    return sql
+
+
+def _decontam_sql(n: int = 8) -> str:
+    """benchmark_decontamination recomputed closed-form: same benchmark
+    split, same planted contaminated copies, same 60-bit md5 gram keys
+    (the simhash word-hash encoding)."""
+    gh = "CAST(('0x' || substr(md5(array_to_string(list_slice(ws, i, i + %d), ' ')), 1, 15)) AS BIGINT)" % (n - 1)
+    return f"""
+        WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        evalc AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 'zzz pad ' || array_to_string(
+                     list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 10), ' ')
+                 || ' qqq pad' AS text
+          FROM documents WHERE doc_id % 14 = 0
+        ),
+        bw AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM bench),
+        bgidx AS (SELECT ws, unnest(generate_series(1, len(ws) - {n - 1})) AS i FROM bw),
+        bg AS (SELECT DISTINCT {gh} AS gh FROM bgidx),
+        ew AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM evalc),
+        egidx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {n - 1})) AS i FROM ew),
+        eg AS (SELECT DISTINCT doc_id, {gh} AS gh FROM egidx),
+        hits AS (SELECT eg.doc_id, count(*) AS nh FROM eg JOIN bg USING (gh) GROUP BY eg.doc_id)
+        SELECT c.doc_id,
+               coalesce(h.nh, 0) AS n_contaminated_grams,
+               coalesce(h.nh, 0) > 0 AS contaminated
+        FROM evalc c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pii_redaction_stats": _pii_sql(),
+        "benchmark_decontamination": _decontam_sql(),
         "lake_upsert_lww": _LAKE_FINAL_SQL,
         # exactly-once: the double-replay lake must equal the
         # single-replay final state, value-for-value

@@ -179,6 +179,8 @@ def run_bench() -> dict:
         timed("top_orders_per_priority", api.top_orders_per_priority)
         timed("dedup_clusters", api.dedup_clusters)
         timed("quality_gopher_by_lang", api.quality_gopher_by_lang)
+        timed("pii_redaction_stats", api.pii_redaction_stats)
+        timed("benchmark_decontamination", api.benchmark_decontamination)
 
     queries["ingest"] = round(ingest_sec, 4)
     if envelope_sec is not None:

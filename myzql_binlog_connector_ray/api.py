@@ -2044,3 +2044,214 @@ def documents_hash_sample(sf_dir: str, *, percent: int = 10, outer_percent: int 
         return out.append_column("in_tenth", pa.array(bucket[keep] < percent, pa.bool_()))
 
     return ds.map_batches(sample, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# PII redaction + benchmark decontamination (training-data hygiene stages)
+# --------------------------------------------------------------------------
+
+# (name, pattern, replacement) — patterns restricted to constructs whose
+# match semantics are identical under Python re and RE2/DuckDB (no
+# alternation whose leftmost-first vs leftmost-longest diverge, no
+# backreferences), so the oracle recomputes counts and redacted lengths
+# exactly. Replacement order is part of the spec (email → ip → phone).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "[IP]"),
+    ("phone", r"\+1 \d{3}-\d{4}", "[PHONE]"),
+]
+
+
+def _pii_corpus(sf_dir: str):
+    """documents ∪ PII-injected copies (id+3M, doc_id % 5 == 0): planted
+    ground truth — the fixture text is PII-free word salad, so the
+    injected contact lines are what makes every count column
+    value-bearing (the oracle rebuilds the same corpus closed-form).
+    The per-row f-string below is plant construction for the test
+    corpus, not part of the scan path."""
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(ids % 5 == 0))
+        sid = sel["doc_id"].to_numpy(zero_copy_only=False)
+        suffix = [
+            f" contact user{u}@example.com ip 10.{u % 256}.0.1 tel +1 555-{u % 10000:04d}"
+            for u in sid
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.add(sel["doc_id"], 3_000_000),
+                "text": pc.binary_join_element_wise(sel["text"], pa.array(suffix), ""),
+            }
+        )
+
+    return ds.union(ds.map_batches(inject, batch_format="pyarrow"))
+
+
+class PiiRedactor:
+    """Actor-pool PII scrubber: regexes compiled ONCE per actor in
+    __init__ (the reference's stateful-worker pattern, ST4), applied
+    per batch in __call__. Output: per-doc match counts per category
+    and the redaction byte delta."""
+
+    def __init__(self):
+        import re
+
+        self.pats = [(name, re.compile(pat), repl) for name, pat, repl in PII_PATTERNS]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        out = {"doc_id": t["doc_id"]}
+        redacted = texts
+        for name, pat, repl in self.pats:
+            findall = pat.findall
+            out[f"n_{name}"] = pa.array(
+                np.fromiter((len(findall(s)) for s in texts), dtype=np.int64, count=len(texts)),
+                pa.int64(),
+            )
+            sub = pat.sub
+            redacted = [sub(repl, s) for s in redacted]
+        orig_len = np.fromiter(map(len, texts), dtype=np.int64, count=len(texts))
+        red_len = np.fromiter(map(len, redacted), dtype=np.int64, count=len(redacted))
+        out["chars_removed"] = pa.array(orig_len - red_len, pa.int64())
+        return pa.table(out)
+
+
+def pii_redaction_stats(sf_dir: str, *, concurrency=None):
+    """PII redaction over the (planted) corpus: per-doc email/ip/phone
+    match counts + chars removed by the three-pass substitution. Scale
+    shape: one actor-pool map_batches (compiled regexes are per-actor
+    state), no shuffle, text never leaves the stage."""
+    return _pii_corpus(sf_dir).map_batches(
+        PiiRedactor, batch_format="pyarrow", concurrency=concurrency or (2, 8)
+    )
+
+
+def benchmark_decontamination(sf_dir: str, *, n: int = 8, num_parts: int = 32):
+    """Benchmark (test-set) decontamination — the standard pre-training
+    hygiene pass: flag every training doc sharing any word ``n``-gram
+    with a held-out benchmark set.
+
+    Benchmark = docs with ``doc_id % 7 == 0``; eval corpus = the other
+    docs ∪ planted contaminated copies (id+2M for ``doc_id % 14 == 0``:
+    'zzz pad ' + the benchmark doc's first 10 words + ' qqq pad' — 3
+    genuinely shared 8-grams each, so `contaminated` discriminates).
+
+    Gram key: 60-bit md5 prefix of the space-joined n words (the
+    simhash word-hash spec, SQL-reproducible). Scale shape — fully
+    distributed, NO driver-side set and NO broadcast of the benchmark
+    side (at 100 TB the benchmark can itself be huge):
+      1. one map_batches emits (gh, doc_id) grams for both sides
+         (bench rows tagged doc_id = -1) plus a zero-weight sentinel
+         per eval doc so gram-less docs still appear;
+      2. gh-partitioned walk (`groupby(_part).map_groups`, coarse
+         num_parts groups — the simhash_dup_pairs pattern): per
+         partition, vectorized np.isin of the distinct eval grams
+         against the partition's bench-gram set. A (doc_id, gh) pair
+         lives in exactly one partition, so per-partition distinct is
+         globally distinct;
+      3. combiner-tree sum per doc_id (functions/agg.py).
+    """
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(ids % 7 == 0))
+        return _gram_rows(sel["text"].to_pylist(), None, n)
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ev = t.filter(pa.array(ids % 7 != 0))
+        parts = [_gram_rows(ev["text"].to_pylist(), ev["doc_id"].to_numpy(zero_copy_only=False), n)]
+        planted = t.filter(pa.array(ids % 14 == 0))
+        if planted.num_rows:
+            ptexts = [
+                "zzz pad " + " ".join(s.strip().split()[:10]) + " qqq pad"
+                for s in planted["text"].to_pylist()
+            ]
+            pids = _pc.add(planted["doc_id"], 2_000_000).to_numpy(zero_copy_only=False)
+            parts.append(_gram_rows(ptexts, pids, n))
+        return pa.concat_tables(parts)
+
+    all_grams = docs.map_batches(bench_grams, batch_format="pyarrow").union(
+        docs.map_batches(eval_grams, batch_format="pyarrow")
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        gh = t["gh"].to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array((gh % num_parts).astype(np.int64), pa.int64()))
+
+    def walk_part(t: pa.Table) -> pa.Table:
+        gh = t["gh"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        bench_set = np.unique(gh[did < 0])
+        emask = did >= 0
+        e_gh, e_id = gh[emask], did[emask]
+        if not len(e_id):
+            return pa.table({"doc_id": pa.array([], pa.int64()), "hits": pa.array([], pa.int64())})
+        # distinct (doc_id, gh) then per-doc hit sum — all vectorized
+        order = np.lexsort((e_gh, e_id))
+        e_gh, e_id = e_gh[order], e_id[order]
+        keep = np.ones(len(e_id), dtype=bool)
+        keep[1:] = (e_id[1:] != e_id[:-1]) | (e_gh[1:] != e_gh[:-1])
+        e_gh, e_id = e_gh[keep], e_id[keep]
+        hit = np.isin(e_gh, bench_set).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, e_id[1:] != e_id[:-1]])
+        sums = np.add.reduceat(hit, starts) if len(hit) else np.array([], dtype=np.int64)
+        return pa.table(
+            {"doc_id": pa.array(e_id[starts], pa.int64()), "hits": pa.array(sums, pa.int64())}
+        )
+
+    from .functions.agg import combiner_aggregate
+
+    partials = (
+        all_grams.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(walk_part, batch_format="pyarrow")
+    )
+    per_doc = combiner_aggregate(
+        partials, ["doc_id"], [("hits", "sum", "n_contaminated_grams")], num_parts=16
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nh = t["n_contaminated_grams"]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_contaminated_grams": nh,
+                "contaminated": pc.greater(nh, 0),
+            }
+        )
+
+    return per_doc.map_batches(finalize, batch_format="pyarrow")
+
+
+def _gram_rows(texts: list, ids, n: int) -> pa.Table:
+    """(gh, doc_id) gram rows for a batch of texts; ids=None tags the
+    benchmark side (doc_id = -1). Every eval doc also emits ONE
+    sentinel row (gh = -1, never a real 60-bit md5 value) so docs with
+    fewer than n words still surface with zero hits. md5-per-gram is
+    the spec the oracle mirrors (as with the minhash word hashes)."""
+    import hashlib as _h
+
+    md5 = _h.md5
+    gh_l: list = []
+    id_l: list = []
+    for row_i, s in enumerate(texts):
+        words = s.strip().split()
+        doc = -1 if ids is None else int(ids[row_i])
+        if ids is not None:
+            gh_l.append(-1)
+            id_l.append(doc)
+        for i in range(len(words) - n + 1):
+            g = " ".join(words[i : i + n])
+            gh_l.append(int(md5(g.encode()).hexdigest()[:15], 16))
+            id_l.append(doc)
+    return pa.table({"gh": pa.array(gh_l, pa.int64()), "doc_id": pa.array(id_l, pa.int64())})

@@ -105,6 +105,8 @@ SQL_CHECKED = [
     "documents_stratified_sample",  # per-language md5 rates from one pass
     "unigram_logprob_by_lang",  # CCNet-ish unigram LM quality scores
     "curated_export_summary",  # write-side curation: shards read back from disk
+    "pii_redaction_stats",  # compiled-regex scrub, counts + redaction delta
+    "benchmark_decontamination",  # n-gram overlap vs held-out benchmark set
 ]
 
 

@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_export_summary": api.curated_export_summary,
         "pii_redaction_stats": api.pii_redaction_stats,
         "benchmark_decontamination": api.benchmark_decontamination,
+        "intradoc_repetition_removal": api.intradoc_repetition_removal,
     }
 
 
@@ -399,10 +400,47 @@ def _decontam_sql(n: int = 8) -> str:
     """
 
 
+def _intradoc_sql(para_words: int = 15) -> str:
+    """intradoc_repetition_removal recomputed closed-form: same 15-word
+    chunking, same planted first-paragraph repeat for doc_id % 3 == 0,
+    keep-first semantics via min(k). Assumes nonempty docs (fixture min
+    is 10 words; regexp_split_to_array('') diverges from ''.split())."""
+    p = para_words
+    return f"""
+        WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+        base AS (
+          SELECT doc_id, k, array_to_string(list_slice(ws, {p}*k + 1, {p}*k + {p}), ' ') AS para
+          FROM (SELECT doc_id, ws, unnest(generate_series(0, (len(ws)-1)//{p})) AS k FROM w)
+        ),
+        planted AS (
+          SELECT doc_id, (len(ws)-1)//{p} + 1 AS k,
+                 array_to_string(list_slice(ws, 1, {p}), ' ') AS para
+          FROM w WHERE doc_id % 3 = 0
+        ),
+        paras AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        firsts AS (SELECT doc_id, para, min(k) AS k0 FROM paras GROUP BY doc_id, para),
+        agg AS (
+          SELECT doc_id, count(*) AS n_paras,
+                 CAST(sum(length(para)) AS BIGINT) AS sum_chars
+          FROM paras GROUP BY doc_id
+        ),
+        uagg AS (
+          SELECT doc_id, count(*) AS n_unique_paras,
+                 CAST(sum(length(para)) AS BIGINT) AS u_chars
+          FROM firsts GROUP BY doc_id
+        )
+        SELECT a.doc_id, a.n_paras, u.n_unique_paras,
+               a.sum_chars + (a.n_paras - 1) AS chars_before,
+               u.u_chars + (u.n_unique_paras - 1) AS chars_after
+        FROM agg a JOIN uagg u USING (doc_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pii_redaction_stats": _pii_sql(),
         "benchmark_decontamination": _decontam_sql(),
+        "intradoc_repetition_removal": _intradoc_sql(),
         "lake_upsert_lww": _LAKE_FINAL_SQL,
         # exactly-once: the double-replay lake must equal the
         # single-replay final state, value-for-value

@@ -2255,3 +2255,53 @@ def _gram_rows(texts: list, ids, n: int) -> pa.Table:
             gh_l.append(int(md5(g.encode()).hexdigest()[:15], 16))
             id_l.append(doc)
     return pa.table({"gh": pa.array(gh_l, pa.int64()), "doc_id": pa.array(id_l, pa.int64())})
+
+
+def intradoc_repetition_removal(sf_dir: str, *, para_words: int = 15):
+    """Intra-document repetition removal (Dolma/RefinedWeb-style
+    boilerplate stripping): drop repeated paragraphs within each doc,
+    keeping the first occurrence, and report the size delta.
+
+    Corpus: each doc's text chunked into ``para_words``-word
+    paragraphs; docs with ``doc_id % 3 == 0`` get their FIRST paragraph
+    replanted at the end (the repeated-boilerplate ground truth the
+    oracle reconstructs closed-form). Scale shape: one map_batches, no
+    shuffle — repetition removal is per-document by construction."""
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+
+    def dedup_paras(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        n_paras: list = []
+        n_uniq: list = []
+        before: list = []
+        after: list = []
+        for did, s in zip(ids, texts):
+            words = s.strip().split()
+            paras = [
+                " ".join(words[i : i + para_words]) for i in range(0, len(words), para_words)
+            ]
+            if did % 3 == 0 and paras:
+                paras.append(paras[0])
+            seen: set = set()
+            kept = []
+            for p in paras:
+                if p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+            n_paras.append(len(paras))
+            n_uniq.append(len(kept))
+            before.append(len("\n".join(paras)))
+            after.append(len("\n".join(kept)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_paras": pa.array(n_paras, pa.int64()),
+                "n_unique_paras": pa.array(n_uniq, pa.int64()),
+                "chars_before": pa.array(before, pa.int64()),
+                "chars_after": pa.array(after, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(dedup_paras, batch_format="pyarrow")

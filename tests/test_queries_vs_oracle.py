@@ -107,6 +107,7 @@ SQL_CHECKED = [
     "curated_export_summary",  # write-side curation: shards read back from disk
     "pii_redaction_stats",  # compiled-regex scrub, counts + redaction delta
     "benchmark_decontamination",  # n-gram overlap vs held-out benchmark set
+    "intradoc_repetition_removal",  # keep-first paragraph dedup within docs
 ]
 
 

@@ -55,8 +55,12 @@ def auto_concurrency(concurrency=None):
 
 
 def read_segments(segment_paths: list[str]) -> ray.data.Dataset:
-    """One input row (and roughly one block) per self-contained segment file."""
-    return ray.data.read_binary_files(segment_paths, include_paths=True)
+    """One input row (and exactly one block) per self-contained segment
+    file — over-provisioned block counts yield empty schema-less blocks
+    that trip the executor's schema-mismatch warning."""
+    return ray.data.read_binary_files(
+        segment_paths, include_paths=True, override_num_blocks=len(segment_paths)
+    )
 
 
 def decode_segment_batch(batch, **cfg):

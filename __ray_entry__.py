@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": api.top_orders_per_priority,
         "top_tokens": api.top_tokens,
         "distinct_users_per_day": api.distinct_users_per_day,
+        "approx_distinct_users_hll": api.approx_distinct_users_hll,
         # round 3
         "lake_repo_stats_incremental": api.lake_repo_stats_incremental,
         "dedup_clusters": api.dedup_clusters,
@@ -964,5 +965,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((epoch_us(ts) // 1000000 // 86400) * 86400 AS BIGINT) AS day,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY day
+        """,
+        # HyperLogLog sketch recomputed closed-form: same 48-bit md5
+        # prefix, integer bit_length via bin(), exact dyadic 2^-M sum
+        # (order-independent — see api.approx_distinct_users_hll).
+        "approx_distinct_users_hll": """
+            WITH pairs AS (
+              SELECT DISTINCT
+                     CAST((epoch_us(ts) // 1000000 // 86400) * 86400 AS BIGINT) AS day,
+                     user_id
+              FROM events
+            ), hashed AS (
+              SELECT day,
+                     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+              FROM pairs
+            ), regs AS (
+              SELECT day, h % 64 AS bucket,
+                     MAX(43 - CASE WHEN h // 64 = 0 THEN 0
+                                   ELSE length(bin(h // 64)) END) AS M
+              FROM hashed GROUP BY day, bucket
+            ), agg AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS n_regs,
+                     sum(power(2.0, -M)) AS s
+              FROM regs GROUP BY day
+            ), est AS (
+              SELECT day, n_regs,
+                     (0.7213 / (1 + 1.079 / 64)) * (64 * 64) / (s + (64 - n_regs)) AS raw
+              FROM agg
+            )
+            SELECT day, n_regs,
+                   CASE WHEN raw <= 2.5 * 64 AND n_regs < 64
+                        THEN round(64 * ln(64.0 / (64 - n_regs)), 6)
+                        ELSE round(raw, 6) END AS approx_users
+            FROM est
         """,
     }

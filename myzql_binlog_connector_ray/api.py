@@ -2016,6 +2016,113 @@ def distinct_users_per_day(sf_dir: str):
     return per_day
 
 
+def approx_distinct_users_hll(sf_dir: str, *, b: int = 6):
+    """Approximate COUNT(DISTINCT) per day via a deterministic
+    HyperLogLog sketch — the mergeable-sketch primitive exact distinct
+    can't match at 10^10 rows: per-day state is m = 2^b registers
+    (64 here) regardless of user cardinality, and register merge is an
+    associative max, so the combiner tree applies unchanged and the
+    exchange ships ≤ days·m register rows per block (vs one row per
+    distinct (day, user) pair for the exact operator).
+
+    Spec (oracle-mirrored, integer-only rank arithmetic — no libm):
+      h      = first 12 hex digits of md5(str(user_id))    (48 bits)
+      bucket = h %  m       (low b bits)
+      w      = h // m       (the remaining 48−b bits)
+      rho    = (48−b) + 1 − bit_length(w)                  (w=0 → 49−b)
+      M[day, bucket] = max rho
+      raw    = α·m² / (Σ_present 2^−M + (m − n_present)),
+      est    = m·ln(m/(m−n_present))  if raw ≤ 2.5m and n_present < m
+               (Flajolet et al. 2007 linear-counting small-range
+               correction)  else raw,
+    α = 0.7213/(1 + 1.079/m). No large-range correction (48-bit hash
+    space makes it moot). The one float reduction (Σ 2^−M) sums
+    dyadic rationals spanning < 53 bits, so it is EXACT in any
+    accumulation order — safe under Ray's nondeterministic block
+    order AND bit-identical to DuckDB's sum; the correction's ln has
+    only 63 possible inputs (n_present ∈ 1..63) and numpy/DuckDB
+    agree on all of them at the 6-decimal rounding (verified).
+
+    bit_length is np.frexp's exponent (exact for ints < 2^53) on the
+    Ray side and length(bin(w)) on the DuckDB side — no log2 rounding
+    anywhere."""
+    import hashlib as _h
+
+    from .functions.agg import combiner_aggregate
+
+    m = 1 << b
+    wbits = 48 - b
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        sec = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        day = (sec // 86400) * 86400
+        pairs = pa.table(
+            {"day": pa.array(day, pa.int64()), "user_id": t["user_id"]}
+        )
+        # block-local (day, user) dedup: md5 is the per-row spec cost,
+        # pay it once per distinct pair in the block
+        g = pairs.group_by(["day", "user_id"]).aggregate([])
+        guid = g["user_id"].to_numpy(zero_copy_only=False)
+        md5 = _h.md5
+        h = np.fromiter(
+            (int(md5(str(u).encode()).hexdigest()[:12], 16) for u in guid),
+            dtype=np.int64,
+            count=len(guid),
+        )
+        w = h >> b
+        _, bl = np.frexp(w.astype(np.float64))  # bit_length; exact < 2^53
+        rho = (wbits + 1) - bl.astype(np.int64)
+        reg = (
+            pa.table(
+                {
+                    "day": g["day"],
+                    "bucket": pa.array(h % m, pa.int64()),
+                    "rho": pa.array(rho, pa.int64()),
+                }
+            )
+            .group_by(["day", "bucket"])
+            .aggregate([("rho", "max")])
+        )
+        return reg.rename_columns(["day", "bucket", "rho"])
+
+    partials = ds.map_batches(sketch, batch_format="pyarrow")
+    regs = combiner_aggregate(partials, ["day", "bucket"], [("rho", "max", "M")], num_parts=8)
+
+    def pow_stage(t: pa.Table) -> pa.Table:
+        mv = t["M"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"day": t["day"], "pow": pa.array(np.ldexp(1.0, -mv), pa.float64())}
+        )
+
+    per_day = combiner_aggregate(
+        regs.map_batches(pow_stage, batch_format="pyarrow"),
+        ["day"],
+        [(None, "count", "n_regs"), ("pow", "sum", "_s")],
+        num_parts=4,
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * (m * m)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t["_s"].to_numpy(zero_copy_only=False)
+        n = t["n_regs"].to_numpy(zero_copy_only=False)
+        raw = num / (s + (m - n))
+        # linear counting where empty registers exist and raw ≤ 2.5m
+        # (guard the ln argument: where() still evaluates both arms)
+        lc = m * np.log(m / np.maximum(m - n, 1).astype(np.float64))
+        est = np.round(np.where((raw <= 2.5 * m) & (n < m), lc, raw), 6)
+        return pa.table(
+            {
+                "day": t["day"],
+                "n_regs": pa.array(n, pa.int64()),
+                "approx_users": pa.array(est, pa.float64()),
+            }
+        )
+
+    return per_day.map_batches(finalize, batch_format="pyarrow")
+
+
 def documents_hash_sample(sf_dir: str, *, percent: int = 10, outer_percent: int = 50):
     """Deterministic hash sampling — the reproducible-at-scale sampling
     primitive (same rows on every run / cluster size, no RNG state to

@@ -115,3 +115,20 @@ def test_combiner_count_with_null_keys(ray_session):
     )
     assert got["n"].tolist() == [2, 1, 2]
     assert got["s"].tolist() == [6, 4, 5]
+
+
+def test_hll_sketch_accuracy_vs_exact(ray_session, sf_dir):
+    """The HLL estimate must land within the sketch's statistical error
+    of the exact per-day distinct count (m=64 ⇒ σ ≈ 1.04/√64 = 13%;
+    assert 3σ). Bit-exactness vs DuckDB is covered by the oracle test —
+    this pins that the sketch estimates the right QUANTITY."""
+    from myzql_binlog_connector_ray import api
+
+    exact = {
+        r["day"]: r["n_users"] for r in api.distinct_users_per_day(sf_dir).take_all()
+    }
+    approx = api.approx_distinct_users_hll(sf_dir).take_all()
+    assert len(approx) == len(exact)
+    for r in approx:
+        e = exact[r["day"]]
+        assert abs(r["approx_users"] - e) / e < 0.39, (r["day"], r["approx_users"], e)

@@ -108,6 +108,7 @@ SQL_CHECKED = [
     "pii_redaction_stats",  # compiled-regex scrub, counts + redaction delta
     "benchmark_decontamination",  # n-gram overlap vs held-out benchmark set
     "intradoc_repetition_removal",  # keep-first paragraph dedup within docs
+    "approx_distinct_users_hll",  # deterministic HLL sketch, bit-exact in SQL
 ]
 
 

@@ -78,6 +78,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction_stats": api.pii_redaction_stats,
         "benchmark_decontamination": api.benchmark_decontamination,
         "intradoc_repetition_removal": api.intradoc_repetition_removal,
+        "events_user_running": api.events_user_running,
+        "customers_without_events": api.customers_without_events,
+        "tfidf_top_terms_by_lang": api.tfidf_top_terms_by_lang,
+        "events_value_quantile_sketch": api.events_value_quantile_sketch,
     }
 
 
@@ -998,5 +1002,76 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(64 * ln(64.0 / (64 - n_regs)), 6)
                         ELSE round(raw, 6) END AS approx_users
             FROM est
+        """,
+        # row-window functions; cents keep the running sum integer-exact
+        # (numpy sequential cumsum vs DuckDB's window segment tree would
+        # differ on float accumulation order)
+        "events_user_running": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w
+                        AS BIGINT) AS run_cents,
+                   COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "customers_without_events": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT user_id FROM events)
+        """,
+        # rational IDF (n_docs/df, no log) — a spec choice so the score
+        # is bit-reproducible in SQL; token spec matches top_tokens
+        "tfidf_top_terms_by_lang": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT lang, token, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY lang, token
+            ), df AS (
+              SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY token
+            ), scored AS (
+              SELECT lang, token, tf, df,
+                     round(CAST(tf AS DOUBLE) *
+                           (CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                            / CAST(df AS DOUBLE)), 6) AS score
+              FROM tf JOIN df USING (token)
+            )
+            SELECT lang,
+                   CAST(row_number() OVER (PARTITION BY lang
+                                           ORDER BY score DESC, token) AS BIGINT) AS rk,
+                   token, tf, df, score
+            FROM scored
+            QUALIFY rk <= 10
+        """,
+        # one-pass grouped histogram quantile sketch; op order of the
+        # interpolation mirrors api.events_value_quantile_sketch exactly
+        "events_value_quantile_sketch": """
+            WITH hist AS (
+              SELECT event_type, CAST(floor(value / 0.25) AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type, bin
+            ), cum AS (
+              SELECT event_type, bin, n,
+                     CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin)
+                          AS BIGINT) AS cum,
+                     CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+              FROM hist
+            ), q AS (
+              SELECT * FROM (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) t(pct)
+            ), hit AS (
+              SELECT event_type, pct, bin, n,
+                     CAST(ceil(pct * total) AS BIGINT) AS rank, cum - n AS cum_before,
+                     row_number() OVER (PARTITION BY event_type, pct ORDER BY bin) AS rb
+              FROM cum CROSS JOIN q
+              WHERE cum >= CAST(ceil(pct * total) AS BIGINT)
+            )
+            SELECT event_type, pct,
+                   bin * 0.25 + 0.25 * CAST(rank - cum_before AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS approx_value
+            FROM hit WHERE rb = 1
         """,
     }

@@ -2412,3 +2412,331 @@ def intradoc_repetition_removal(sf_dir: str, *, para_words: int = 15):
         )
 
     return ds.map_batches(dedup_paras, batch_format="pyarrow")
+
+
+def events_user_running(sf_dir: str, *, num_parts: int = 32):
+    """Row-window functions (running SUM, ROW_NUMBER, LAG) over a keyed
+    ordered stream — per-user running spend, event rank, and
+    inter-event gap — without per-key ``map_groups``:
+
+    hash(user) → coarse ``_part`` (task count bounded by ``num_parts``
+    regardless of user cardinality), each partition lexsorted ONCE by
+    (user, ts, event_id) — event_id is unique so the order (and every
+    window result) is deterministic — then one vectorized segmented
+    scan: ``rn`` from a running segment-start index, the running sum
+    from one ``np.cumsum`` minus its value at each segment start, and
+    the LAG gap from a shifted diff masked at segment boundaries
+    (first row per user → -1 sentinel, keeping the column int64).
+
+    Money is integer cents (``floor(v*100 + 0.5)``, the repo-standard
+    oracle-identical rounding) so the running sum is exact integer
+    arithmetic — immune to float accumulation-order differences
+    between numpy's sequential cumsum and DuckDB's window segment
+    tree."""
+    from .functions.agg import hash_part
+
+    ds = _read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        t = _cents(t, "value", "cents").drop_columns(["value"])
+        part = hash_part(t, ["user_id"], num_parts)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def run_part(g: pa.Table) -> pa.Table:
+        n = len(g)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        tsus = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tsus, uid))
+        uid, tsus, eid, cents = uid[order], tsus[order], eid[order], cents[order]
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = uid[1:] != uid[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_seg, idx, 0))
+        rn = idx - seg_start + 1
+        cs = np.cumsum(cents)
+        run = cs - np.where(seg_start > 0, cs[np.maximum(seg_start - 1, 0)], 0)
+        gap = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            gap[1:] = np.where(new_seg[1:], -1, tsus[1:] - tsus[:-1])
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "rn": pa.array(rn, pa.int64()),
+                "run_cents": pa.array(run, pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    return parts.groupby("_part").map_groups(run_part, batch_format="pyarrow")
+
+
+def customers_without_events(sf_dir: str, *, num_parts: int = 32):
+    """Distributed ANTI-JOIN: customers with zero event activity (the
+    churn/inactivity query). Scale shape — both sides large, neither
+    broadcast:
+
+    1. the probe side collapses block-locally to its DISTINCT keys
+       (a block ships each user_id once — the anti-join's combiner);
+    2. both sides are tagged and hash-co-partitioned on the key into
+       ``num_parts`` coarse partitions (one exchange, bounded by
+       distinct keys + customer rows, never by event count);
+    3. each partition filters its customer rows with one vectorized
+       ``is_in`` against the probe keys present in that partition —
+       correctness needs only that equal keys co-locate, which the
+       shared hash guarantees.
+
+    Degenerate-skew note: a hot user_id contributes ONE key per block
+    to the exchange, so partition sizes are bounded by distinct-key
+    counts — no star-cap needed."""
+    from .functions.agg import hash_part
+
+    cust = _read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    events = _read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+
+    def probe_keys(t: pa.Table) -> pa.Table:
+        keys = pa.table({"key": t["user_id"]}).group_by(["key"]).aggregate([])
+        out = pa.table(
+            {
+                "key": keys["key"],
+                "c_name": pa.nulls(len(keys), pa.string()),
+                "c_acctbal": pa.nulls(len(keys), pa.float64()),
+                "side": pa.array(np.ones(len(keys), dtype=np.int8)),
+            }
+        )
+        part = hash_part(out, ["key"], num_parts)
+        return out.append_column("_part", pa.array(part, pa.int32()))
+
+    def build_side(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "key": t["c_custkey"],
+                "c_name": t["c_name"],
+                "c_acctbal": t["c_acctbal"],
+                "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        )
+        part = hash_part(out, ["key"], num_parts)
+        return out.append_column("_part", pa.array(part, pa.int32()))
+
+    def anti_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g["side"].to_numpy(zero_copy_only=False)
+        present = g["key"].filter(pa.array(side == 1))
+        left = g.filter(pa.array(side == 0))
+        hit = pc.is_in(left["key"], value_set=present.combine_chunks().unique())
+        keep = left.filter(pc.invert(hit))
+        return pa.table(
+            {
+                "c_custkey": keep["key"],
+                "c_name": keep["c_name"],
+                "c_acctbal": keep["c_acctbal"],
+            }
+        )
+
+    tagged = cust.map_batches(build_side, batch_format="pyarrow").union(
+        events.map_batches(probe_keys, batch_format="pyarrow")
+    )
+    return tagged.groupby("_part").map_groups(anti_part, batch_format="pyarrow")
+
+
+def tfidf_top_terms_by_lang(sf_dir: str, *, k: int = 10, num_buckets: int = 16):
+    """TF-IDF salient-term extraction per language — the classic
+    corpus-analysis primitive (what words characterize each slice).
+
+    Spec (oracle-mirrored; rational IDF — ``n_docs / df`` with NO
+    logarithm, a deliberate libm-free choice so DuckDB reproduces the
+    score bit-for-bit):
+      token        = lowercase whitespace token (top_tokens' spec)
+      tf(lang, t)  = total occurrences of t in lang
+      df(t)        = number of DOCUMENTS containing t (corpus-wide)
+      score        = round(tf · (n_docs / df), 6)
+    Top-k per lang by (score DESC, token ASC).
+
+    Scale shape: tf and df are both combiner trees (a block ships one
+    partial per distinct (lang, token) / per distinct token — bounded
+    by vocabulary, not token count; df's block partial dedups tokens
+    WITHIN each doc first, so a doc counts once). df joins tf through
+    Ray's native hash join (vocabulary × vocabulary — neither side
+    broadcast), scores vectorized, then grouped top-k: block-local
+    per-lang candidates (≤ k·langs rows per block) so the final
+    per-lang rank sorts a tiny table."""
+    import pyarrow.compute as pc
+
+    from .functions.agg import combiner_aggregate
+
+    ds = _docs_ds(sf_dir, ["text", "lang"])
+    n_docs = ds.count()
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        lang = t["lang"].take(pc.list_parent_indices(toks))
+        g = (
+            pa.table({"lang": lang, "token": flat})
+            .group_by(["lang", "token"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["lang", "token", "tf_p"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        doc = pc.list_parent_indices(toks)
+        per_doc = (
+            pa.table({"d": doc, "token": flat}).group_by(["d", "token"]).aggregate([])
+        )
+        vc_src = per_doc["token"]
+        if isinstance(vc_src, pa.ChunkedArray):
+            vc_src = vc_src.combine_chunks()
+        vc = vc_src.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "df_p": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    tf = combiner_aggregate(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["lang", "token"],
+        [("tf_p", "sum", "tf")],
+    )
+    df = combiner_aggregate(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["token"],
+        [("df_p", "sum", "df")],
+    )
+    joined = tf.join(
+        df, join_type="inner", num_partitions=num_buckets, on=("token",)
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.round(tfv * (np.float64(n_docs) / dfv), 6)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "token": t["token"],
+                "tf": t["tf"],
+                "df": t["df"],
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("lang", "ascending"),
+                ("score", "descending"),
+                ("token", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(t), dtype=bool)
+        new[1:] = lang[1:] != lang[:-1]
+        pos = np.arange(len(t)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(t)), 0)
+        )
+        return t.filter(pa.array(pos < k))
+
+    def rank_lang(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("score", "descending"), ("token", "ascending")]
+        )
+        g = g.take(idx.slice(0, k))
+        return g.append_column("rk", pa.array(np.arange(1, len(g) + 1), pa.int64()))
+
+    cand = joined.map_batches(score, batch_format="pyarrow").map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+    out = cand.groupby("lang").map_groups(rank_lang, batch_format="pyarrow")
+    return out.select_columns(["lang", "rk", "token", "tf", "df", "score"])
+
+
+def events_value_quantile_sketch(
+    sf_dir: str, *, qs=(0.5, 0.9, 0.99), bin_width: float = 0.25
+):
+    """GROUPED approximate quantiles in ONE pass — the mergeable
+    histogram sketch (per-group state bounded by the value domain /
+    bin_width, merge = integer count addition). The exact operator
+    (``events_value_percentiles``) needs a second targeted scan and is
+    global-only; this is the per-group scale path: quantiles of
+    ``value`` per event_type with error ≤ bin_width, no per-group sort
+    anywhere, one combiner-tree exchange shipping (type, bin, count)
+    partials.
+
+    Estimate spec (oracle-mirrored, float-op-identical):
+      bin     = floor(v / bin_width)                (single IEEE div)
+      rank    = ceil(q·n)          (1-based, per group)
+      target  = first bin with cumulative count ≥ rank
+      est     = bin·w + w·(rank − cum_before) / n_bin
+    i.e. linear interpolation of the rank's offset inside its bin; the
+    expression is evaluated with the same operation order on both
+    sides, and the driver-side finalize touches only the histogram —
+    bounded by domain/bin_width · #groups, independent of row count."""
+    import math
+
+    from .functions.agg import combiner_aggregate
+
+    w = bin_width
+    ds = _read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def binify(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "bin": pa.array(np.floor(v / w).astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        combiner_aggregate(
+            ds.map_batches(binify, batch_format="pyarrow"),
+            ["event_type", "bin"],
+            [(None, "count", "n")],
+            num_parts=8,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "bin"])
+        .reset_index(drop=True)
+    )
+
+    out_t, out_q, out_v = [], [], []
+    for etype, g in hist.groupby("event_type", sort=True):
+        bins = g["bin"].to_numpy()
+        counts = g["n"].to_numpy()
+        total = int(counts.sum())
+        cum = np.cumsum(counts)
+        cum_before = cum - counts
+        for q in qs:
+            rank = math.ceil(q * total)
+            i = int(np.searchsorted(cum, rank, side="left"))
+            est = bins[i] * w + w * float(rank - cum_before[i]) / float(counts[i])
+            out_t.append(etype)
+            out_q.append(q)
+            out_v.append(est)
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "pct": pa.array(out_q, pa.float64()),
+            "approx_value": pa.array(out_v, pa.float64()),
+        }
+    )

@@ -132,3 +132,36 @@ def test_hll_sketch_accuracy_vs_exact(ray_session, sf_dir):
     for r in approx:
         e = exact[r["day"]]
         assert abs(r["approx_users"] - e) / e < 0.39, (r["day"], r["approx_users"], e)
+
+
+def test_quantile_sketch_within_bin_of_exact(ray_session, sf_dir):
+    """The one-pass histogram sketch must land within bin_width of the
+    exact (sort-based) per-group quantile — the sketch's error bound.
+    Bit-exactness vs DuckDB is covered by the oracle test; this pins
+    that the estimate tracks the true quantile."""
+    import duckdb
+    import os
+
+    from myzql_binlog_connector_ray import api
+
+    got = api.events_value_quantile_sketch(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'events.parquet')}')"
+    )
+    exact = con.sql(
+        """
+        SELECT event_type, 0.5 AS pct, quantile_disc(value, 0.5) AS v
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 0.9, quantile_disc(value, 0.9) FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 0.99, quantile_disc(value, 0.99) FROM events GROUP BY event_type
+        """
+    ).df()
+    exact["pct"] = exact["pct"].astype("float64")
+    merged = got.merge(exact, on=["event_type", "pct"])
+    assert len(merged) == len(got) > 0
+    err = (merged["approx_value"] - merged["v"]).abs()
+    assert (err <= 0.25 + 1e-9).all(), merged[err > 0.25]

@@ -109,6 +109,10 @@ SQL_CHECKED = [
     "benchmark_decontamination",  # n-gram overlap vs held-out benchmark set
     "intradoc_repetition_removal",  # keep-first paragraph dedup within docs
     "approx_distinct_users_hll",  # deterministic HLL sketch, bit-exact in SQL
+    "events_user_running",  # row-window fns: running sum / row_number / lag
+    "customers_without_events",  # distributed anti-join, co-partitioned is_in
+    "tfidf_top_terms_by_lang",  # TF-IDF (rational IDF), grouped top-k
+    "events_value_quantile_sketch",  # one-pass grouped histogram quantiles
 ]
 
 

@@ -181,6 +181,11 @@ def run_bench() -> dict:
         timed("quality_gopher_by_lang", api.quality_gopher_by_lang)
         timed("pii_redaction_stats", api.pii_redaction_stats)
         timed("benchmark_decontamination", api.benchmark_decontamination)
+        timed("events_user_running", api.events_user_running)
+        timed("customers_without_events", api.customers_without_events)
+        timed("tfidf_top_terms_by_lang", api.tfidf_top_terms_by_lang)
+        timed("events_value_quantile_sketch", api.events_value_quantile_sketch)
+        timed("approx_distinct_users_hll", api.approx_distinct_users_hll)
 
     queries["ingest"] = round(ingest_sec, 4)
     if envelope_sec is not None:

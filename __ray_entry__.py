@@ -82,6 +82,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events": api.customers_without_events,
         "tfidf_top_terms_by_lang": api.tfidf_top_terms_by_lang,
         "events_value_quantile_sketch": api.events_value_quantile_sketch,
+        "event_transition_counts": api.event_transition_counts,
+        "reservoir_sample_per_group": api.reservoir_sample_per_group,
+        "doc_chunking_stats": api.doc_chunking_stats,
+        "embedding_centroids_by_label": api.embedding_centroids_by_label,
+        "lineitem_semijoin_bloom": api.lineitem_semijoin_bloom,
     }
 
 
@@ -1073,5 +1078,79 @@ def oracle_sql() -> dict[str, str]:
                    bin * 0.25 + 0.25 * CAST(rank - cum_before AS DOUBLE)
                      / CAST(n AS DOUBLE) AS approx_value
             FROM hit WHERE rb = 1
+        """,
+        # Markov bigram over per-user ordered event sequences
+        "event_transition_counts": """
+            SELECT prev_type, cur_type, CAST(count(*) AS BIGINT) AS n
+            FROM (
+              SELECT lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_type,
+                     event_type AS cur_type
+              FROM events
+            )
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, cur_type
+        """,
+        # deterministic per-group reservoir: smallest md5-prefix ranks,
+        # same 32-bit integer spec as documents_hash_sample
+        "reservoir_sample_per_group": """
+            SELECT lang, rk, doc_id, hkey FROM (
+              SELECT lang, doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) AS hkey,
+                     CAST(row_number() OVER (
+                        PARTITION BY lang
+                        ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                      AS BIGINT), doc_id) AS BIGINT) AS rk
+              FROM documents
+            ) WHERE rk <= 8
+        """,
+        # overlapping token windows; chunk char length equals the joined
+        # slice length (api side computes it from a prefix sum, never
+        # materializing the chunk text)
+        "doc_chunking_stats": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+              FROM documents
+            ), st AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(0, len(tk) - 1, 48)) AS s
+              FROM toks
+            )
+            SELECT doc_id,
+                   CAST(s // 48 AS BIGINT) AS chunk_id,
+                   CAST(least(len(tk) - s, 64) AS BIGINT) AS n_tokens,
+                   CAST(length(array_to_string(tk[s + 1:least(s + 64, len(tk))], ' '))
+                        AS BIGINT) AS n_chars
+            FROM st
+        """,
+        # integer-millionth quantization makes the vector sums associative;
+        # the one double division is op-order identical on both sides
+        "embedding_centroids_by_label": """
+            WITH ex AS (
+              SELECT label,
+                     unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                     unnest(embedding) AS val
+              FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS DOUBLE)
+                     / (count(*) * 1000000.0) AS centroid
+            FROM ex GROUP BY label, dim
+        """,
+        # the bloom prefilter is internal acceleration whose false
+        # positives are removed by the exact co-partitioned is_in, so the
+        # oracle is the plain semi-join
+        "lineitem_semijoin_bloom": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                                       + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0
+            )
+            GROUP BY l_returnflag
         """,
     }

@@ -186,6 +186,11 @@ def run_bench() -> dict:
         timed("tfidf_top_terms_by_lang", api.tfidf_top_terms_by_lang)
         timed("events_value_quantile_sketch", api.events_value_quantile_sketch)
         timed("approx_distinct_users_hll", api.approx_distinct_users_hll)
+        timed("event_transition_counts", api.event_transition_counts)
+        timed("reservoir_sample_per_group", api.reservoir_sample_per_group)
+        timed("doc_chunking_stats", api.doc_chunking_stats)
+        timed("embedding_centroids_by_label", api.embedding_centroids_by_label)
+        timed("lineitem_semijoin_bloom", api.lineitem_semijoin_bloom)
 
     queries["ingest"] = round(ingest_sec, 4)
     if envelope_sec is not None:

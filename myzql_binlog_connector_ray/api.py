@@ -2740,3 +2740,377 @@ def events_value_quantile_sketch(
             "approx_value": pa.array(out_v, pa.float64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3 (cont.): sequence mining, deterministic sampling, chunking,
+# vector aggregation, bloom-accelerated semi-join
+# --------------------------------------------------------------------------
+
+
+def event_transition_counts(sf_dir: str, *, num_parts: int = 32):
+    """Event-sequence mining: the per-user transition (Markov bigram)
+    matrix — how often event B follows event A in a user's ordered
+    stream. The per-key-sequential shape is the same as sessionize /
+    the window functions, so it reuses the scale pattern:
+
+    hash(user) → coarse ``_part`` (task count bounded by ``num_parts``,
+    never user cardinality), one lexsort per partition by
+    (user, ts, event_id) — event_id unique ⇒ deterministic order —
+    then one vectorized shift: consecutive row pairs within the same
+    user are transitions. Each partition collapses its pairs to
+    (prev, cur, count) partials via arrow group_by (≤ |types|² rows
+    per partition), and a tiny combiner exchange sums them — the
+    final shuffle is bounded by the transition-type vocabulary, not
+    the event count."""
+    from .functions.agg import combiner_aggregate, hash_part
+
+    ds = _read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = hash_part(t, ["user_id"], num_parts)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def trans_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = len(g)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        tsus = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tsus, uid))
+        etype = g["event_type"].take(pa.array(order)).combine_chunks()
+        uid = uid[order]
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            same[1:] = uid[1:] == uid[:-1]
+        cur_idx = np.nonzero(same)[0]
+        pairs = pa.table(
+            {
+                "prev_type": etype.take(pa.array(cur_idx - 1)),
+                "cur_type": etype.take(pa.array(cur_idx)),
+            }
+        )
+        out = pairs.group_by(["prev_type", "cur_type"]).aggregate([([], "count_all")])
+        return out.rename_columns(["prev_type", "cur_type", "n_p"])
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    partials = parts.groupby("_part").map_groups(trans_part, batch_format="pyarrow")
+    return combiner_aggregate(
+        partials, ["prev_type", "cur_type"], [("n_p", "sum", "n")], num_parts=4
+    )
+
+
+def reservoir_sample_per_group(sf_dir: str, *, k: int = 8):
+    """Deterministic per-group uniform sample (the distributed
+    "reservoir"): the k docs per language with the SMALLEST
+    md5(doc_id) rank — same rows on every run and every cluster
+    size, no RNG state to coordinate, and mergeable: block-local
+    per-group head-k candidates (a block ships ≤ k rows per group,
+    so the final exchange is bounded by k · groups · blocks, never
+    corpus size), then one tiny per-group rank.
+
+    Rank spec (oracle-mirrored, same md5-prefix integer as
+    ``documents_hash_sample``): hkey = int(md5(str(doc_id))[:4]),
+    ties broken by doc_id (md5 collisions at 32 bits are possible at
+    scale, never ambiguous)."""
+    import pyarrow.compute as pc
+
+    ds = _docs_ds(sf_dir, ["doc_id", "lang"])
+
+    def add_hkey(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        dec = np.char.mod("%d", t["doc_id"].to_numpy(zero_copy_only=False))
+        md5 = _h.md5
+        hkey = np.fromiter(
+            (int.from_bytes(md5(s.encode()).digest()[:4], "big") for s in dec),
+            dtype=np.int64,
+            count=len(dec),
+        )
+        return t.append_column("hkey", pa.array(hkey, pa.int64()))
+
+    def local_headk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("lang", "ascending"),
+                ("hkey", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(t), dtype=bool)
+        new[1:] = lang[1:] != lang[:-1]
+        idxs = np.arange(len(t))
+        pos = idxs - np.maximum.accumulate(np.where(new, idxs, 0))
+        return t.filter(pa.array(pos < k))
+
+    def rank_lang(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("hkey", "ascending"), ("doc_id", "ascending")]
+        )
+        g = g.take(idx.slice(0, k))
+        return g.append_column("rk", pa.array(np.arange(1, len(g) + 1), pa.int64()))
+
+    cand = ds.map_batches(add_hkey, batch_format="pyarrow").map_batches(
+        local_headk, batch_format="pyarrow"
+    )
+    out = cand.groupby("lang").map_groups(rank_lang, batch_format="pyarrow")
+    return out.select_columns(["lang", "rk", "doc_id", "hkey"])
+
+
+def doc_chunking_stats(sf_dir: str, *, size: int = 64, stride: int = 48):
+    """Training-sample chunking: split each document into overlapping
+    ``size``-token windows every ``stride`` tokens (the standard
+    pretraining packing step) — fully vectorized, and the chunk TEXT
+    is never materialized: per-chunk char length comes from a prefix
+    sum over flat token lengths (chars(s..e) = cum[e] − cum[s] − 1,
+    with cum over len(token)+1 — exactly
+    ``length(array_to_string(tokens[s+1:e], ' '))``).
+
+    Token spec (oracle-mirrored, same as ``top_tokens`` minus the
+    lowercasing): whitespace split of trim(text); chunk starts at
+    0, stride, 2·stride, … while start < n_tokens. Per-doc work is a
+    pure flat_map expansion — embarrassingly parallel, no shuffle at
+    all; a real exporter would emit the chunk text/token ids with the
+    same indices into ``write_parquet``."""
+    import pyarrow.compute as pc
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_len = (
+            pc.utf8_length(pc.list_flatten(toks))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # prefix sum over (len(tok) + 1): joined chars of tokens s..e
+        # (e exclusive) = cum[e] - cum[s] - 1
+        cum = np.zeros(len(flat_len) + 1, dtype=np.int64)
+        np.cumsum(flat_len + 1, out=cum[1:])
+        offs = np.zeros(len(n_tok) + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=offs[1:])
+        # chunk fan-out: doc d emits ceil(n_tok/stride) starts (n_tok >= 1
+        # always: a regex split yields at least one element)
+        n_chunks = (n_tok - 1) // stride + 1
+        doc_idx = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_chunks)
+        chunk_starts = np.zeros(len(n_chunks) + 1, dtype=np.int64)
+        np.cumsum(n_chunks, out=chunk_starts[1:])
+        chunk_id = np.arange(len(doc_idx), dtype=np.int64) - chunk_starts[doc_idx]
+        s = chunk_id * stride
+        e = np.minimum(s + size, n_tok[doc_idx])
+        gs, ge = offs[doc_idx] + s, offs[doc_idx] + e
+        n_chars = cum[ge] - cum[gs] - 1
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "n_tokens": pa.array(e - s, pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def embedding_centroids_by_label(sf_dir: str, *, num_parts: int = 8):
+    """Per-group vector mean (the embedding-centroid primitive behind
+    k-means init, class prototypes, and cluster quality checks) as a
+    combiner tree over ``list<float>`` columns.
+
+    Exactness spec: each float32 component is quantized to exact
+    integer millionths — q = floor(float64(v)·1e6 + 0.5), the
+    repo-standard oracle-identical rounding — so the vector sums are
+    associative integer arithmetic (immune to float accumulation
+    order), and the centroid is ONE deterministic double division
+    sum_q / (n · 1e6) on both sides.
+
+    Scale shape: a block collapses to |labels| · dim partial rows
+    (np.add.reduceat over the label-sorted matrix — one pass, no
+    per-label loop), the exchange ships only those partials, and the
+    output is |labels| · dim rows — independent of corpus size."""
+    from .functions.agg import combiner_aggregate
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = _read_parquet(path, columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dim = len(emb[0]) if len(emb) else 0
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = np.floor(flat * 1e6 + 0.5).astype(np.int64).reshape(len(t), dim)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        lab_s = lab[order]
+        starts = np.nonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])[0]
+        sums = np.add.reduceat(mat[order], starts, axis=0)  # (groups, dim)
+        counts = np.diff(np.r_[starts, len(lab_s)])
+        g = len(starts)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(lab_s[starts], dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), g), pa.int64()),
+                "q_p": pa.array(sums.ravel(), pa.int64()),
+                "n_p": pa.array(np.repeat(counts.astype(np.int64), dim), pa.int64()),
+            }
+        )
+
+    agg = combiner_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        [("q_p", "sum", "q"), ("n_p", "sum", "n")],
+        num_parts=num_parts,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        q = t["q"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "label": t["label"],
+                "dim": t["dim"],
+                "n": t["n"],
+                "centroid": pa.array(q / (n * 1e6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def lineitem_semijoin_bloom(
+    sf_dir: str,
+    *,
+    threshold: float = 450_000.0,
+    m_bits: int = 1 << 17,
+    num_parts: int = 32,
+):
+    """Bloom-accelerated SEMI-JOIN: revenue of lineitems whose order
+    exceeds a price threshold — the "filter a huge fact table by a
+    selective dimension predicate" shape where shipping the whole
+    fact table into a shuffle join is the classic waste.
+
+    Plan (exact result; the bloom is pure acceleration and its false
+    positives are removed, so the oracle is plain SQL):
+
+    1. build side: qualifying o_orderkey → 2 bloom bit indices per
+       key, block-local DISTINCT (≤ 2·keys/block rows ship);
+    2. the distinct bit set (≤ ``m_bits`` rows — bounded by the
+       filter size, independent of data scale) folds into one bitmap
+       on the driver and broadcasts via ``ray.put`` — every probe
+       task reads the same object-store copy;
+    3. probe side: one vectorized bit-test per lineitem batch drops
+       ~(1−sel) of rows BEFORE the exchange — the bloom pays for
+       itself by shrinking the co-partition shuffle, not the scan;
+    4. exactness: survivors + qualifying keys co-partition by key
+       hash; one ``is_in`` per partition removes bloom false
+       positives (same partition-local correctness argument as
+       ``customers_without_events``);
+    5. revenue cents per returnflag via the combiner tree.
+    """
+    import pyarrow.compute as pc
+
+    from .functions.agg import combiner_aggregate, hash_part
+
+    orders = _read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    qual = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(threshold))).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _bloom_hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h = pd.util.hash_array(keys, categorize=False)
+        h2 = h * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)
+        return (h % np.uint64(m_bits)).astype(np.int64), (
+            h2 % np.uint64(m_bits)
+        ).astype(np.int64)
+
+    def emit_bits(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        b1, b2 = _bloom_hashes(keys)
+        bits = np.unique(np.concatenate([b1, b2]))
+        return pa.table({"bit": pa.array(bits, pa.int64())})
+
+    # ≤ m_bits rows reach the driver regardless of order count
+    bit_rows = combiner_aggregate(
+        qual.map_batches(emit_bits, batch_format="pyarrow"),
+        ["bit"],
+        [(None, "count", "_n")],
+        num_parts=4,
+    ).select_columns(["bit"])
+    bitmap = np.zeros(m_bits, dtype=bool)
+    for batch in bit_rows.iter_batches(batch_format="pyarrow"):
+        bitmap[batch["bit"].to_numpy(zero_copy_only=False)] = True
+    bitmap_ref = ray.put(bitmap)
+
+    lineitem = _read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    class BloomPrefilter:
+        def __init__(self, bitmap_ref):
+            self.bitmap = ray.get(bitmap_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            b1, b2 = _bloom_hashes(keys)
+            keep = self.bitmap[b1] & self.bitmap[b2]
+            t = t.filter(pa.array(keep))
+            t = _cents(t, "l_extendedprice", "cents", factor="l_discount")
+            out = t.select(["l_orderkey", "l_returnflag", "cents"])
+            part = hash_part(out, ["l_orderkey"], num_parts)
+            return out.append_column(
+                "side", pa.array(np.zeros(len(out), dtype=np.int8))
+            ).append_column("_part", pa.array(part, pa.int32()))
+
+    def key_side(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "l_orderkey": t["o_orderkey"],
+                "l_returnflag": pa.nulls(len(t), pa.string()),
+                "cents": pa.nulls(len(t), pa.int64()),
+                "side": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        )
+        part = hash_part(out, ["l_orderkey"], num_parts)
+        return out.append_column("_part", pa.array(part, pa.int32()))
+
+    survivors = lineitem.map_batches(
+        BloomPrefilter,
+        fn_constructor_kwargs=dict(bitmap_ref=bitmap_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    tagged = survivors.union(qual.map_batches(key_side, batch_format="pyarrow"))
+
+    def semi_part(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        present = g["l_orderkey"].filter(pa.array(side == 1)).combine_chunks().unique()
+        left = g.filter(pa.array(side == 0))
+        hit = pc.is_in(left["l_orderkey"], value_set=present)
+        keep = left.filter(hit)
+        return keep.select(["l_returnflag", "cents"])
+
+    exact = tagged.groupby("_part").map_groups(semi_part, batch_format="pyarrow")
+    return combiner_aggregate(
+        exact,
+        ["l_returnflag"],
+        [(None, "count", "n"), ("cents", "sum", "revenue_cents")],
+        num_parts=2,
+    )

@@ -113,6 +113,11 @@ SQL_CHECKED = [
     "customers_without_events",  # distributed anti-join, co-partitioned is_in
     "tfidf_top_terms_by_lang",  # TF-IDF (rational IDF), grouped top-k
     "events_value_quantile_sketch",  # one-pass grouped histogram quantiles
+    "event_transition_counts",  # per-user Markov bigram, vectorized shift
+    "reservoir_sample_per_group",  # deterministic per-group k-sample
+    "doc_chunking_stats",  # overlapping token windows, prefix-sum chars
+    "embedding_centroids_by_label",  # vector mean, integer-exact combiner
+    "lineitem_semijoin_bloom",  # bloom prefilter + exact co-partition semi
 ]
 
 

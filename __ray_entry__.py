@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunking_stats": api.doc_chunking_stats,
         "embedding_centroids_by_label": api.embedding_centroids_by_label,
         "lineitem_semijoin_bloom": api.lineitem_semijoin_bloom,
+        "url_domain_stats": api.url_domain_stats,
     }
 
 
@@ -343,6 +344,34 @@ _LAKE_FINAL_SQL = f"""
     FROM d
     WHERE doc_id % 5 <> 0
 """
+
+
+def _url_domain_sql() -> str:
+    """url_domain_stats recomputed in DuckDB: same planted corpus, same
+    pattern (api.URL_PATTERN — group 1 is the domain). Assembled via
+    token replacement like _pii_sql to avoid format-string mangling."""
+    from myzql_binlog_connector_ray.api import URL_PATTERN
+
+    sql = """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 4000000,
+                 text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
+                      || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                      || ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.example.net/img'
+          FROM documents WHERE doc_id % 4 = 0
+        ), hits AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '@URL@', 1)) AS domain
+          FROM corpus
+        )
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM hits GROUP BY domain
+    """
+    return sql.replace("@URL@", URL_PATTERN)
 
 
 def _pii_sql() -> str:
@@ -1153,4 +1182,7 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY l_returnflag
         """,
+        # same planted corpus + same RE2/Python-identical pattern
+        # (api.URL_PATTERN group 1 = domain)
+        "url_domain_stats": _url_domain_sql(),
     }

@@ -191,6 +191,7 @@ def run_bench() -> dict:
         timed("doc_chunking_stats", api.doc_chunking_stats)
         timed("embedding_centroids_by_label", api.embedding_centroids_by_label)
         timed("lineitem_semijoin_bloom", api.lineitem_semijoin_bloom)
+        timed("url_domain_stats", api.url_domain_stats)
 
     queries["ingest"] = round(ingest_sec, 4)
     if envelope_sec is not None:

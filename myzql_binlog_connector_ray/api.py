@@ -3114,3 +3114,96 @@ def lineitem_semijoin_bloom(
         [(None, "count", "n"), ("cents", "sum", "revenue_cents")],
         num_parts=2,
     )
+
+
+# URL pattern shared between the Ray kernel and the DuckDB oracle.
+# Group 1 is the domain. Restricted (like PII_PATTERNS) to constructs
+# whose match semantics are identical under Python re and RE2/DuckDB:
+# greedy character classes, one optional group, no alternation whose
+# leftmost-first vs leftmost-longest diverge.
+URL_PATTERN = r"https?://([A-Za-z0-9.-]+)(/[^ ]*)?"
+
+
+def _url_corpus(sf_dir: str):
+    """documents ∪ URL-injected copies (id+4M, doc_id % 4 == 0): the
+    fixture word salad contains no URLs, so the planted links are the
+    ground truth the oracle rebuilds closed-form (two URLs per planted
+    doc across 50 + 7 rotating domains)."""
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(ids % 4 == 0))
+        sid = sel["doc_id"].to_numpy(zero_copy_only=False)
+        suffix = [
+            f" see https://site{u % 50}.example.org/p/{u} and http://cdn{u % 7}.example.net/img"
+            for u in sid
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.add(sel["doc_id"], 4_000_000),
+                "text": pc.binary_join_element_wise(sel["text"], pa.array(suffix), ""),
+            }
+        )
+
+    return ds.union(ds.map_batches(inject, batch_format="pyarrow"))
+
+
+class UrlExtractor:
+    """Actor-pool URL/domain extractor: the pattern compiles ONCE per
+    actor in __init__ (stateful-stage pattern, ST4); __call__ emits
+    per-block (domain, n_urls_p, n_docs_p) partials — a block ships
+    one row per distinct domain, so the exchange is bounded by the
+    domain vocabulary, never the corpus. n_docs sums correctly across
+    blocks because a document lives in exactly one block."""
+
+    def __init__(self):
+        import re
+
+        self.pat = re.compile(URL_PATTERN)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        findall = self.pat.findall
+        doc_ids, domains = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for groups in findall(text):
+                doc_ids.append(did)
+                domains.append(groups[0])
+        pairs = pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "domain": pa.array(domains, pa.string()),
+            }
+        )
+        urls = pairs.group_by(["domain"]).aggregate([([], "count_all")])
+        urls = urls.rename_columns(["domain", "n_urls_p"])
+        docs = (
+            pairs.group_by(["doc_id", "domain"])
+            .aggregate([])
+            .group_by(["domain"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["domain", "n_docs_p"])
+        )
+        return urls.join(docs, keys=["domain"], join_type="inner")
+
+
+def url_domain_stats(sf_dir: str, *, concurrency=None):
+    """Per-domain link statistics over the (planted) corpus — the
+    web-crawl curation primitive behind domain allow/block lists and
+    source-mix dashboards: URLs per domain and distinct documents
+    citing the domain. Scale shape: one actor-pool map_batches (text
+    never leaves the stage), then a combiner exchange over domain
+    partials — output is |domains| rows."""
+    from .functions.agg import combiner_aggregate
+
+    partials = _url_corpus(sf_dir).map_batches(
+        UrlExtractor, batch_format="pyarrow", concurrency=concurrency or (2, 8)
+    )
+    return combiner_aggregate(
+        partials,
+        ["domain"],
+        [("n_urls_p", "sum", "n_urls"), ("n_docs_p", "sum", "n_docs")],
+        num_parts=4,
+    )

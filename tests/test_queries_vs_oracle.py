@@ -118,6 +118,7 @@ SQL_CHECKED = [
     "doc_chunking_stats",  # overlapping token windows, prefix-sum chars
     "embedding_centroids_by_label",  # vector mean, integer-exact combiner
     "lineitem_semijoin_bloom",  # bloom prefilter + exact co-partition semi
+    "url_domain_stats",  # planted URLs, per-domain link/doc counts
 ]
 
 

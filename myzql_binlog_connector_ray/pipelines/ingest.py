@@ -73,25 +73,36 @@ def decode_segment_batch(batch, **cfg):
     return SegmentDecoder(**cfg)(batch)
 
 
-def _dispatch_decode(segments: ray.data.Dataset, cfg: dict, concurrency) -> ray.data.Dataset:
+def _dispatch_decode(
+    segments: ray.data.Dataset, cfg: dict, concurrency, scheduling: str = "auto"
+) -> ray.data.Dataset:
     """Decode-stage scheduling shared by the envelope and typed paths:
     stateless tasks on ≥8 CPUs (decoder construction is microseconds;
     tasks interleave with reads and skip actor-pool ramp-up — measured
-    ~20 % faster end-to-end), an autoscaling actor pool otherwise
-    (pinning a CPU share wins on small clusters)."""
-    if concurrency is None:
+    ~20 % faster end-to-end: 5.7 s → 2.6–4.4 s for the sf0.1 envelope
+    export at 32 CPUs), an autoscaling actor pool otherwise (pinning a
+    CPU share wins on small clusters). ``concurrency`` only sizes the
+    actor pool; in "auto" it does NOT force the actors path — pass
+    ``scheduling="actors"`` to pin one explicitly."""
+    if scheduling == "auto":
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             cpus = 8
         if cpus >= 8:
-            return segments.map_batches(
-                decode_segment_batch,
-                fn_kwargs=cfg,
-                batch_size=1,  # one segment per call: the segment is the decode unit
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
+            scheduling = "tasks"
+        else:
+            scheduling = "actors"
+            if concurrency is None:
+                concurrency = max(2, (cpus * 3) // 4)
+    if scheduling == "tasks":
+        return segments.map_batches(
+            decode_segment_batch,
+            fn_kwargs=cfg,
+            batch_size=1,  # one segment per call: the segment is the decode unit
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     return segments.map_batches(
         SegmentDecoder,
         fn_constructor_kwargs=cfg,
@@ -110,6 +121,7 @@ def decode_envelope(
     min_ordinal: Optional[int] = None,
     max_ordinal: Optional[int] = None,
     concurrency=None,
+    scheduling: str = "auto",
 ) -> ray.data.Dataset:
     """Segments → the reference's 9-column envelope (+ segment, ordinal)."""
     return _dispatch_decode(
@@ -122,6 +134,7 @@ def decode_envelope(
             max_ordinal=max_ordinal,
         ),
         concurrency,
+        scheduling,
     )
 
 
@@ -156,17 +169,6 @@ def decode_typed(
     - "auto" (default): tasks when the cluster has ≥8 CPUs, else an
       actor pool sized 3/4 of the CPUs (both measured, see BASELINE.md).
     """
-    if scheduling == "auto":
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        if cpus >= 8:
-            scheduling = "tasks"
-        else:
-            scheduling = "actors"
-            if concurrency is None:
-                concurrency = max(2, (cpus * 3) // 4)
     cfg = dict(
         mode="typed",
         registry=registry or SCHEMA_REGISTRY,
@@ -178,22 +180,7 @@ def decode_typed(
         num_partitions=num_partitions,
         staging_dir=staging_dir,
     )
-    if scheduling == "tasks":
-        return segments.map_batches(
-            decode_segment_batch,
-            fn_kwargs=cfg,
-            batch_size=1,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-    return segments.map_batches(
-        SegmentDecoder,
-        fn_constructor_kwargs=cfg,
-        batch_size=1,
-        batch_format="pyarrow",
-        concurrency=auto_concurrency(concurrency),
-        zero_copy_batch=True,
-    )
+    return _dispatch_decode(segments, cfg, concurrency, scheduling)
 
 
 def export_envelope(
@@ -203,10 +190,11 @@ def export_envelope(
     include: Optional[list[str]] = None,
     exclude: Optional[list[str]] = None,
     concurrency=None,
+    scheduling: str = "auto",
 ) -> list[dict]:
     """Reference parquet mode with the rotation sink policy: one
     ``<binlog_file>.parquet`` per segment (src/pipeline.zig:342-360),
-    written atomically inside the decode actor — re-runs overwrite,
+    written atomically inside the decode worker — re-runs overwrite,
     making the export idempotent per segment. Returns per-segment
     manifest rows."""
     ds = _dispatch_decode(
@@ -218,6 +206,7 @@ def export_envelope(
             envelope_out_dir=out_dir,
         ),
         concurrency,
+        scheduling,
     )
     return ds.take_all()  # small: one row per segment
 

@@ -2597,40 +2597,38 @@ def tfidf_top_terms_by_lang(sf_dir: str, *, k: int = 10, num_buckets: int = 16):
       score        = round(tf · (n_docs / df), 6)
     Top-k per lang by (score DESC, token ASC).
 
-    Scale shape: tf and df are both combiner trees (a block ships one
-    partial per distinct (lang, token) / per distinct token — bounded
-    by vocabulary, not token count; df's block partial dedups tokens
-    WITHIN each doc first, so a doc counts once). df joins tf through
-    Ray's native hash join (vocabulary × vocabulary — neither side
-    broadcast), scores vectorized, then grouped top-k: block-local
-    per-lang candidates (≤ k·langs rows per block) so the final
-    per-lang rank sorts a tiny table."""
+    Scale shape — ONE exchange: a block ships one tf partial per
+    distinct (lang, token) and one df partial per distinct token
+    (both bounded by vocabulary, not token count; df's block partial
+    dedups tokens WITHIN each doc first, so a doc counts once), both
+    partial kinds tag + co-partition by token hash, and each
+    partition merges its partials, joins tf↔df with an in-partition
+    Acero hash join (all rows of a token co-locate), scores
+    vectorized, and forwards ≤ k·|langs| head-k candidates to a tiny
+    final per-lang rank. (The previous shape fed Ray's JoinOperator
+    from two combiner trees — a second exchange, and the sort
+    groupby's occasional 0-column empty bundles sporadically crashed
+    the join's Acero finalize with 'No match for FieldRef token'.)"""
     import pyarrow.compute as pc
 
-    from .functions.agg import combiner_aggregate
+    from .functions.agg import hash_part
 
     ds = _docs_ds(sf_dir, ["text", "lang"])
     n_docs = ds.count()
 
-    def tf_partial(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+"
-        )
-        flat = pc.list_flatten(toks)
-        lang = t["lang"].take(pc.list_parent_indices(toks))
-        g = (
-            pa.table({"lang": lang, "token": flat})
-            .group_by(["lang", "token"])
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns(["lang", "token", "tf_p"])
-
-    def df_partial(t: pa.Table) -> pa.Table:
+    def partials(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
             pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+"
         )
         flat = pc.list_flatten(toks)
         doc = pc.list_parent_indices(toks)
+        lang = t["lang"].take(doc)
+        tf = (
+            pa.table({"lang": lang, "token": flat})
+            .group_by(["lang", "token"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "token", "cnt"])
+        )
         per_doc = (
             pa.table({"d": doc, "token": flat}).group_by(["d", "token"]).aggregate([])
         )
@@ -2638,29 +2636,55 @@ def tfidf_top_terms_by_lang(sf_dir: str, *, k: int = 10, num_buckets: int = 16):
         if isinstance(vc_src, pa.ChunkedArray):
             vc_src = vc_src.combine_chunks()
         vc = vc_src.value_counts()
-        return pa.table(
-            {"token": vc.field("values"), "df_p": pc.cast(vc.field("counts"), pa.int64())}
+        both = pa.table(
+            {
+                "token": pa.concat_arrays(
+                    [tf["token"].combine_chunks(), vc.field("values")]
+                ),
+                "lang": pa.concat_arrays(
+                    [
+                        tf["lang"].combine_chunks(),
+                        pa.nulls(len(vc), pa.string()),
+                    ]
+                ),
+                "cnt": pa.concat_arrays(
+                    [
+                        tf["cnt"].cast(pa.int64()).combine_chunks(),
+                        pc.cast(vc.field("counts"), pa.int64()),
+                    ]
+                ),
+                "side": pa.array(
+                    np.r_[
+                        np.zeros(len(tf), dtype=np.int8),
+                        np.ones(len(vc), dtype=np.int8),
+                    ]
+                ),
+            }
         )
+        part = hash_part(both, ["token"], num_buckets)
+        return both.append_column("_part", pa.array(part, pa.int32()))
 
-    tf = combiner_aggregate(
-        ds.map_batches(tf_partial, batch_format="pyarrow"),
-        ["lang", "token"],
-        [("tf_p", "sum", "tf")],
-    )
-    df = combiner_aggregate(
-        ds.map_batches(df_partial, batch_format="pyarrow"),
-        ["token"],
-        [("df_p", "sum", "df")],
-    )
-    joined = tf.join(
-        df, join_type="inner", num_partitions=num_buckets, on=("token",)
-    )
-
-    def score(t: pa.Table) -> pa.Table:
+    def score_topk_part(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        tf = (
+            g.filter(pa.array(side == 0))
+            .select(["lang", "token", "cnt"])
+            .group_by(["lang", "token"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["lang", "token", "tf"])
+        )
+        df = (
+            g.filter(pa.array(side == 1))
+            .select(["token", "cnt"])
+            .group_by(["token"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["token", "df"])
+        )
+        t = tf.join(df, keys=["token"], join_type="inner")
         tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
         s = np.round(tfv * (np.float64(n_docs) / dfv), 6)
-        return pa.table(
+        t = pa.table(
             {
                 "lang": t["lang"],
                 "token": t["token"],
@@ -2669,8 +2693,8 @@ def tfidf_top_terms_by_lang(sf_dir: str, *, k: int = 10, num_buckets: int = 16):
                 "score": pa.array(s, pa.float64()),
             }
         )
-
-    def local_topk(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return t
         idx = pc.sort_indices(
             t,
             sort_keys=[
@@ -2695,8 +2719,10 @@ def tfidf_top_terms_by_lang(sf_dir: str, *, k: int = 10, num_buckets: int = 16):
         g = g.take(idx.slice(0, k))
         return g.append_column("rk", pa.array(np.arange(1, len(g) + 1), pa.int64()))
 
-    cand = joined.map_batches(score, batch_format="pyarrow").map_batches(
-        local_topk, batch_format="pyarrow"
+    cand = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(score_topk_part, batch_format="pyarrow")
     )
     out = cand.groupby("lang").map_groups(rank_lang, batch_format="pyarrow")
     return out.select_columns(["lang", "rk", "token", "tf", "df", "score"])

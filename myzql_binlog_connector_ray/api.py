@@ -3091,7 +3091,9 @@ def lineitem_semijoin_bloom(
             ["o_orderkey"]
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()  # small (keys only, ~selectivity × orders); consumed twice
+    # (bitmap build + exact-verify side) — materializing avoids a second
+    # orders scan; the blocks stay in the object store, never the driver
 
     def _bloom_hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         h = pd.util.hash_array(keys, categorize=False)

@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids_by_label": api.embedding_centroids_by_label,
         "lineitem_semijoin_bloom": api.lineitem_semijoin_bloom,
         "url_domain_stats": api.url_domain_stats,
+        "lineitem_profile": api.lineitem_profile,
     }
 
 
@@ -344,6 +345,34 @@ _LAKE_FINAL_SQL = f"""
     FROM d
     WHERE doc_id % 5 <> 0
 """
+
+
+def _profile_sql() -> str:
+    """lineitem_profile recomputed in DuckDB: one UNION ALL arm per
+    column, mirroring api.lineitem_profile's type rules (strings →
+    codepoint length, timestamps → epoch-µs, numerics → value)."""
+    cols = {
+        "l_orderkey": "l_orderkey",
+        "l_partkey": "l_partkey",
+        "l_suppkey": "l_suppkey",
+        "l_linenumber": "l_linenumber",
+        "l_quantity": "l_quantity",
+        "l_extendedprice": "l_extendedprice",
+        "l_discount": "l_discount",
+        "l_tax": "l_tax",
+        "l_returnflag": "length(l_returnflag)",
+        "l_linestatus": "length(l_linestatus)",
+        "l_shipdate": "epoch_us(l_shipdate)",
+    }
+    arms = [
+        f"""SELECT '{name}' AS col, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) - count({expr}) AS BIGINT) AS n_null,
+                   CAST(min({expr}) AS DOUBLE) AS vmin,
+                   CAST(max({expr}) AS DOUBLE) AS vmax
+            FROM lineitem"""
+        for name, expr in cols.items()
+    ]
+    return " UNION ALL ".join(arms)
 
 
 def _url_domain_sql() -> str:
@@ -1185,4 +1214,7 @@ def oracle_sql() -> dict[str, str]:
         # same planted corpus + same RE2/Python-identical pattern
         # (api.URL_PATTERN group 1 = domain)
         "url_domain_stats": _url_domain_sql(),
+        # one stats row per column: strings profile codepoint length,
+        # timestamps profile epoch-µs (api.lineitem_profile's spec)
+        "lineitem_profile": _profile_sql(),
     }

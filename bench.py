@@ -192,6 +192,7 @@ def run_bench() -> dict:
         timed("embedding_centroids_by_label", api.embedding_centroids_by_label)
         timed("lineitem_semijoin_bloom", api.lineitem_semijoin_bloom)
         timed("url_domain_stats", api.url_domain_stats)
+        timed("lineitem_profile", api.lineitem_profile)
 
     queries["ingest"] = round(ingest_sec, 4)
     if envelope_sec is not None:

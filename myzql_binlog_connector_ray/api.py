@@ -3269,3 +3269,64 @@ def url_domain_stats(sf_dir: str, *, concurrency=None):
         [("n_urls_p", "sum", "n_urls"), ("n_docs_p", "sum", "n_docs")],
         num_parts=4,
     )
+
+
+def lineitem_profile(sf_dir: str):
+    """Table profiling — the data-quality primitive behind schema
+    dashboards and ingestion gates: one pass over every column of
+    ``lineitem`` emitting row count, null count, and min/max. Numeric
+    and timestamp columns report values (timestamps as epoch-µs);
+    string columns report codepoint-length extrema. min/max are
+    order-independent and n/n_null are integer sums, so every output
+    cell is deterministic — vmin/vmax are exact in double for values
+    < 2^53 (true for every fixture and any sane fact table's keys).
+
+    Scale shape: a block collapses to |columns| partial rows
+    (vectorized ``pc.min_max`` + null_count per column — no row
+    iteration), and the combiner exchange ships only those partials;
+    output is |columns| rows regardless of table size."""
+    import pyarrow.compute as pc
+
+    from .functions.agg import combiner_aggregate
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    ds = _read_parquet(path)
+
+    def profile_block(t: pa.Table) -> pa.Table:
+        cols, ns, nulls, vmins, vmaxs = [], [], [], [], []
+        for name in t.column_names:
+            col = t[name]
+            typ = col.type
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                vals = pc.cast(pc.utf8_length(col), pa.float64())
+            elif pa.types.is_timestamp(typ):
+                vals = pc.cast(col.cast(pa.int64()), pa.float64())
+            else:
+                vals = pc.cast(col, pa.float64())
+            mm = pc.min_max(vals)
+            cols.append(name)
+            ns.append(len(col))
+            nulls.append(col.null_count)
+            vmins.append(mm["min"].as_py())
+            vmaxs.append(mm["max"].as_py())
+        return pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "n_p": pa.array(ns, pa.int64()),
+                "null_p": pa.array(nulls, pa.int64()),
+                "min_p": pa.array(vmins, pa.float64()),
+                "max_p": pa.array(vmaxs, pa.float64()),
+            }
+        )
+
+    return combiner_aggregate(
+        ds.map_batches(profile_block, batch_format="pyarrow"),
+        ["col"],
+        [
+            ("n_p", "sum", "n"),
+            ("null_p", "sum", "n_null"),
+            ("min_p", "min", "vmin"),
+            ("max_p", "max", "vmax"),
+        ],
+        num_parts=2,
+    )

@@ -182,3 +182,43 @@ def test_reservoir_sample_block_split_invariance(ray_session, tiny_dir):
     want = ids[np.lexsort((ids, hk))][:5]
     got = a[a["lang"] == "en"].sort_values("rk")["doc_id"].to_numpy()
     assert np.array_equal(got, want)
+
+
+def test_doc_chunking_matches_naive_reference(ray_session, tiny_dir):
+    # randomized (seeded) doc shapes: the vectorized prefix-sum kernel
+    # must equal the obvious per-doc Python implementation
+    rng = np.random.RandomState(42)
+    texts, n = [], 60
+    for i in range(n):
+        n_tok = int(rng.randint(1, 200))
+        toks = ["w" * int(rng.randint(1, 12)) for _ in range(n_tok)]
+        texts.append(" ".join(toks))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["t"] * n),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    sf = _write(tiny_dir, "documents", docs)
+    size, stride = 16, 11
+    out = (
+        api.doc_chunking_stats(sf, size=size, stride=stride)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for i, text in enumerate(texts):
+        toks = text.strip().split()
+        s = 0
+        cid = 0
+        while s < len(toks):
+            window = toks[s : s + size]
+            want.append((i, cid, len(window), len(" ".join(window))))
+            s += stride
+            cid += 1
+    got = list(map(tuple, out[["doc_id", "chunk_id", "n_tokens", "n_chars"]].values))
+    assert got == want

@@ -119,6 +119,7 @@ SQL_CHECKED = [
     "embedding_centroids_by_label",  # vector mean, integer-exact combiner
     "lineitem_semijoin_bloom",  # bloom prefilter + exact co-partition semi
     "url_domain_stats",  # planted URLs, per-domain link/doc counts
+    "lineitem_profile",  # one-pass per-column stats profile
 ]
 
 

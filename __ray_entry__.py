@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_semijoin_bloom": api.lineitem_semijoin_bloom,
         "url_domain_stats": api.url_domain_stats,
         "lineitem_profile": api.lineitem_profile,
+        "events_value_percentiles_by_type": api.events_value_percentiles_by_type,
     }
 
 
@@ -1217,4 +1218,15 @@ def oracle_sql() -> dict[str, str]:
         # one stats row per column: strings profile codepoint length,
         # timestamps profile epoch-µs (api.lineitem_profile's spec)
         "lineitem_profile": _profile_sql(),
+        # exact grouped percentiles: quantile_disc's rank rule
+        # (ceil(q·n)−1, 0-based ascending) — matches the two-pass
+        # histogram selection in api.events_value_percentiles_by_type
+        "events_value_percentiles_by_type": """
+            SELECT event_type, 0.5 AS pct,
+                   quantile_disc(value, 0.5) AS value FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9, quantile_disc(value, 0.9) FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.99, quantile_disc(value, 0.99) FROM events GROUP BY event_type
+        """,
     }

@@ -193,6 +193,7 @@ def run_bench() -> dict:
         timed("lineitem_semijoin_bloom", api.lineitem_semijoin_bloom)
         timed("url_domain_stats", api.url_domain_stats)
         timed("lineitem_profile", api.lineitem_profile)
+        timed("events_value_percentiles_by_type", api.events_value_percentiles_by_type)
 
     queries["ingest"] = round(ingest_sec, 4)
     if envelope_sec is not None:

@@ -3330,3 +3330,97 @@ def lineitem_profile(sf_dir: str):
         ],
         num_parts=2,
     )
+
+
+def events_value_percentiles_by_type(
+    sf_dir: str, *, qs=(0.5, 0.9, 0.99), bin_width: float = 0.25
+):
+    """EXACT distributed percentiles PER GROUP — completes the
+    percentile matrix (global-exact: ``events_value_percentiles``;
+    grouped-approx: ``events_value_quantile_sketch``) with the same
+    two-pass histogram shape, keyed:
+
+    pass 1: (group, bin) counts via the combiner tree — the driver
+    sees one histogram per group (bounded by groups · domain/bin_width,
+    never row count) and locates each q's target bin + in-bin offset
+    (rank ``ceil(q·n)−1``, DuckDB quantile_disc's rule).
+
+    pass 2: re-scan only rows in target (group, bin) cells — matched
+    with ONE vectorized ``is_in`` over a composite int64 key
+    (``type_id·2³² + bin``; type ids from a broadcast ``pc.index_in``
+    against the histogram's group list, no per-row string building) —
+    and select each offset from the cell's sorted values. The sliver
+    is a ~1/#bins fraction per group; a skewed domain would recurse by
+    re-binning the sliver (not needed at fixture scale)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from .functions.agg import combiner_aggregate
+
+    ds = _read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def binify(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "bin": pa.array(np.floor(v / bin_width).astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        combiner_aggregate(
+            ds.map_batches(binify, batch_format="pyarrow"),
+            ["event_type", "bin"],
+            [(None, "count", "n")],
+            num_parts=8,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "bin"])
+        .reset_index(drop=True)
+    )
+    types = sorted(hist["event_type"].unique().tolist())
+    type_id = {t: i for i, t in enumerate(types)}
+    OFFSET = np.int64(2**31)  # keep composite keys positive for any bin
+    targets: dict[int, list] = {}  # composite key -> [(etype, q, offset)]
+    for etype, g in hist.groupby("event_type", sort=True):
+        bins = g["bin"].to_numpy()
+        counts = g["n"].to_numpy()
+        total = int(counts.sum())
+        cum_before = np.cumsum(counts) - counts
+        for q in qs:
+            rank = math.ceil(q * total) - 1  # 0-based ascending within group
+            i = int(np.searchsorted(cum_before, rank, side="right")) - 1
+            key = int(np.int64(type_id[etype]) * np.int64(2**32) + bins[i] + OFFSET)
+            targets.setdefault(key, []).append((etype, q, rank - int(cum_before[i])))
+
+    wanted = pa.array(sorted(targets), pa.int64())
+    types_arr = pa.array(types, pa.string())
+
+    def keep_wanted(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / bin_width).astype(np.int64)
+        tid = pc.index_in(t["event_type"], value_set=types_arr)
+        tid = tid.to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = pa.array(tid * np.int64(2**32) + b + OFFSET, pa.int64())
+        mask = pc.is_in(comp, value_set=wanted)
+        return pa.table({"key": comp.filter(mask), "value": t["value"].filter(mask)})
+
+    sliver = ds.map_batches(keep_wanted, batch_format="pyarrow").to_pandas()
+    out_t, out_q, out_v = [], [], []
+    for key, picks in targets.items():
+        vals = np.sort(sliver.loc[sliver["key"] == key, "value"].to_numpy())
+        for etype, q, off in picks:
+            out_t.append(etype)
+            out_q.append(q)
+            out_v.append(float(vals[off]))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "pct": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+        }
+    )

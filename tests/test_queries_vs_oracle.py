@@ -120,6 +120,7 @@ SQL_CHECKED = [
     "lineitem_semijoin_bloom",  # bloom prefilter + exact co-partition semi
     "url_domain_stats",  # planted URLs, per-domain link/doc counts
     "lineitem_profile",  # one-pass per-column stats profile
+    "events_value_percentiles_by_type",  # exact grouped two-pass quantiles
 ]
 
 

@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_domain_stats": api.url_domain_stats,
         "lineitem_profile": api.lineitem_profile,
         "events_value_percentiles_by_type": api.events_value_percentiles_by_type,
+        "customer_event_counts": api.customer_event_counts,
     }
 
 
@@ -1228,5 +1229,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, 0.9, quantile_disc(value, 0.9) FROM events GROUP BY event_type
             UNION ALL
             SELECT event_type, 0.99, quantile_disc(value, 0.99) FROM events GROUP BY event_type
+        """,
+        # left-outer grouped aggregate: zero-activity customers included
+        "customer_event_counts": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events
+            FROM customer c
+            LEFT JOIN (
+              SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+            ) e ON c.c_custkey = e.user_id
         """,
     }

@@ -194,6 +194,7 @@ def run_bench() -> dict:
         timed("url_domain_stats", api.url_domain_stats)
         timed("lineitem_profile", api.lineitem_profile)
         timed("events_value_percentiles_by_type", api.events_value_percentiles_by_type)
+        timed("customer_event_counts", api.customer_event_counts)
 
     queries["ingest"] = round(ingest_sec, 4)
     if envelope_sec is not None:

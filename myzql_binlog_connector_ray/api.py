@@ -3424,3 +3424,81 @@ def events_value_percentiles_by_type(
             "value": pa.array(out_v, pa.float64()),
         }
     )
+
+
+def customer_event_counts(sf_dir: str, *, num_parts: int = 32):
+    """LEFT OUTER grouped aggregate — every customer with their event
+    count, zeros included (the activity-report shape; completes the
+    join matrix: inner/broadcast/as-of/range/semi/anti all exist).
+    Scale shape is the anti-join's (``customers_without_events``) with
+    a count payload: events collapse block-locally to (key, n_p)
+    partials — the exchange is bounded by distinct keys per block,
+    never event count — both sides co-partition by key hash, and each
+    partition sums its partials and attaches them to its customer rows
+    with one vectorized ``index_in`` gather (missing → 0)."""
+    import pyarrow.compute as pc
+
+    from .functions.agg import hash_part
+
+    cust = _read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    events = _read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+
+    def ev_partial(t: pa.Table) -> pa.Table:
+        vc_src = t["user_id"]
+        if isinstance(vc_src, pa.ChunkedArray):
+            vc_src = vc_src.combine_chunks()
+        vc = vc_src.value_counts()
+        out = pa.table(
+            {
+                "key": vc.field("values"),
+                "n_p": pc.cast(vc.field("counts"), pa.int64()),
+                "c_name": pa.nulls(len(vc), pa.string()),
+                "side": pa.array(np.ones(len(vc), dtype=np.int8)),
+            }
+        )
+        part = hash_part(out, ["key"], num_parts)
+        return out.append_column("_part", pa.array(part, pa.int32()))
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "key": t["c_custkey"],
+                "n_p": pa.nulls(len(t), pa.int64()),
+                "c_name": t["c_name"],
+                "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        )
+        part = hash_part(out, ["key"], num_parts)
+        return out.append_column("_part", pa.array(part, pa.int32()))
+
+    def outer_part(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ev = (
+            g.filter(pa.array(side == 1))
+            .select(["key", "n_p"])
+            .group_by(["key"])
+            .aggregate([("n_p", "sum")])
+            .rename_columns(["key", "n"])
+        )
+        left = g.filter(pa.array(side == 0))
+        keys = ev["key"].combine_chunks() if isinstance(ev["key"], pa.ChunkedArray) else ev["key"]
+        pos = pc.index_in(left["key"], value_set=keys)  # null = no events
+        valid = pos.is_valid().to_numpy(zero_copy_only=False)
+        pos_filled = pos.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        nvals = ev["n"].to_numpy(zero_copy_only=False)
+        gathered = nvals[pos_filled] if len(nvals) else np.zeros(len(left), dtype=np.int64)
+        n_out = np.where(valid, gathered, 0).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": left["key"],
+                "c_name": left["c_name"],
+                "n_events": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    tagged = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        events.map_batches(ev_partial, batch_format="pyarrow")
+    )
+    return tagged.groupby("_part").map_groups(outer_part, batch_format="pyarrow")

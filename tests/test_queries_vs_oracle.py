@@ -121,6 +121,7 @@ SQL_CHECKED = [
     "url_domain_stats",  # planted URLs, per-domain link/doc counts
     "lineitem_profile",  # one-pass per-column stats profile
     "events_value_percentiles_by_type",  # exact grouped two-pass quantiles
+    "customer_event_counts",  # left-outer grouped count, zeros included
 ]
 
 

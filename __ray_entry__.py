@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": api.lineitem_profile,
         "events_value_percentiles_by_type": api.events_value_percentiles_by_type,
         "customer_event_counts": api.customer_event_counts,
+        "events_user_trailing_window": api.events_user_trailing_window,
     }
 
 
@@ -1238,5 +1239,19 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (
               SELECT user_id, count(*) AS n FROM events GROUP BY user_id
             ) e ON c.c_custkey = e.user_id
+        """,
+        # RANGE frame (includes ts peers) — cents keep the trailing sum
+        # integer-exact; µs window arithmetic identical on both sides
+        "events_user_trailing_window": """
+            SELECT event_id, user_id,
+                   CAST(sum(cents) OVER w AS BIGINT) AS trail_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS n_win
+            FROM (
+              SELECT event_id, user_id, ts,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+              FROM events
+            )
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """,
     }

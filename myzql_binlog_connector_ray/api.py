@@ -3502,3 +3502,59 @@ def customer_event_counts(sf_dir: str, *, num_parts: int = 32):
         events.map_batches(ev_partial, batch_format="pyarrow")
     )
     return tagged.groupby("_part").map_groups(outer_part, batch_format="pyarrow")
+
+
+def events_user_trailing_window(sf_dir: str, *, window_sec: int = 3600, num_parts: int = 32):
+    """RANGE-frame trailing window — per-user 1-hour trailing spend and
+    event count at every event (the sliding-aggregate primitive; the
+    row-frame functions are ``events_user_running``, the fixed grids
+    are the tumbling/hopping windows). Semantics mirror SQL
+    ``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW``: the frame is
+    [ts−w, ts] and includes ALL peers tied on ts.
+
+    Fully vectorized, no per-key loop: hash(user) → coarse ``_part``,
+    one lexsort per partition by (user, ts), then BOTH frame bounds
+    come from two ``np.searchsorted`` calls over a composite key
+    ``uid·2⁴⁵ + (ts − ts_min)`` (the uid stride dominates the
+    normalized-ts range, so a bound can never cross into another
+    user's run) and the sums are prefix-sum differences — integer
+    cents, so accumulation order is irrelevant."""
+    from .functions.agg import hash_part
+
+    ds = _read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    w_us = np.int64(window_sec) * np.int64(1_000_000)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        t = _cents(t, "value", "cents").drop_columns(["value"])
+        part = hash_part(t, ["user_id"], num_parts)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def trail_part(g: pa.Table) -> pa.Table:
+        n = len(g)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        tsus = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tsus, uid))
+        uid, tsus, eid, cents = uid[order], tsus[order], eid[order], cents[order]
+        ts_norm = tsus - tsus.min() if n else tsus
+        STRIDE = np.int64(1) << np.int64(45)  # > any month-scale µs range
+        comp = uid * STRIDE + ts_norm
+        lo = np.searchsorted(comp, uid * STRIDE + np.maximum(ts_norm - w_us, 0), side="left")
+        hi = np.searchsorted(comp, comp, side="right")  # include ts peers
+        pref = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cents, out=pref[1:])
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "trail_cents": pa.array(pref[hi] - pref[lo], pa.int64()),
+                "n_win": pa.array((hi - lo).astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    return parts.groupby("_part").map_groups(trail_part, batch_format="pyarrow")

@@ -122,6 +122,7 @@ SQL_CHECKED = [
     "lineitem_profile",  # one-pass per-column stats profile
     "events_value_percentiles_by_type",  # exact grouped two-pass quantiles
     "customer_event_counts",  # left-outer grouped count, zeros included
+    "events_user_trailing_window",  # RANGE-frame trailing sum, peer-inclusive
 ]
 
 

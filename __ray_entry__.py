@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentiles_by_type": api.events_value_percentiles_by_type,
         "customer_event_counts": api.customer_event_counts,
         "events_user_trailing_window": api.events_user_trailing_window,
+        "token_counts_cms": api.token_counts_cms,
     }
 
 
@@ -1253,5 +1254,34 @@ def oracle_sql() -> dict[str, str]:
             )
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """,
+        # count-min sketch recomputed closed-form: same md5-prefix
+        # bucket spec (bucket_j = md5("j:" || token)[:8 hex] % 1024),
+        # integer sums are order-independent so the matrix is bit-exact
+        "token_counts_cms": """
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+              FROM documents
+            ), cnt AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+            ), top AS (
+              SELECT token, n,
+                     CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rk
+              FROM cnt QUALIFY rk <= 20
+            ), js AS (SELECT * FROM (VALUES (0), (1)) t(j)),
+            cms AS (
+              SELECT j,
+                     CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8))
+                          AS BIGINT) % 1024 AS bucket,
+                     CAST(sum(n) AS BIGINT) AS c
+              FROM cnt CROSS JOIN js GROUP BY j, bucket
+            )
+            SELECT t.rk, t.token, t.n AS true_n, CAST(min(c.c) AS BIGINT) AS est_n
+            FROM top t
+            CROSS JOIN js
+            JOIN cms c ON c.j = js.j AND c.bucket =
+                 CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || t.token), 1, 8))
+                      AS BIGINT) % 1024
+            GROUP BY t.rk, t.token, t.n
         """,
     }

@@ -196,6 +196,7 @@ def run_bench() -> dict:
         timed("events_value_percentiles_by_type", api.events_value_percentiles_by_type)
         timed("customer_event_counts", api.customer_event_counts)
         timed("events_user_trailing_window", api.events_user_trailing_window)
+        timed("token_counts_cms", api.token_counts_cms)
 
     queries["ingest"] = round(ingest_sec, 4)
     if envelope_sec is not None:

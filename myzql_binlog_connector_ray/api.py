@@ -3558,3 +3558,110 @@ def events_user_trailing_window(sf_dir: str, *, window_sec: int = 3600, num_part
 
     parts = ds.map_batches(add_part, batch_format="pyarrow")
     return parts.groupby("_part").map_groups(trail_part, batch_format="pyarrow")
+
+
+def token_counts_cms(sf_dir: str, *, w: int = 1024, d: int = 2, k: int = 20):
+    """Count-min sketch — completes the classic mergeable-sketch trio
+    (HLL = cardinality, histogram = quantiles, CMS = frequency): token
+    frequency estimates from a fixed d×w counter matrix, reported for
+    the true top-k tokens next to their exact counts (est ≥ true by
+    construction; equality when a token's buckets are collision-free).
+
+    Determinism spec (oracle-mirrored): bucket_j(token) =
+    int(md5(f"{j}:{token}")[:4 bytes]) mod w — the repo-standard
+    md5-prefix integer. The sketch is associative integer addition, so
+    the combiner tree merges partials in any order; a block ships ≤
+    d·distinct-tokens rows (vocabulary-bounded), the driver sees only
+    the d·w counter matrix, and the probe set is recomputed closed-form
+    on both sides (true counts via the same combiner as top_tokens)."""
+    import hashlib as _h
+
+    import pyarrow.compute as pc
+
+    from .functions.agg import combiner_aggregate
+
+    ds = _docs_ds(sf_dir, ["text"])
+
+    def _buckets(tokens: list, j: int) -> np.ndarray:
+        md5 = _h.md5
+        pre = f"{j}:"
+        return np.fromiter(
+            (
+                int.from_bytes(md5((pre + t).encode()).digest()[:4], "big") % w
+                for t in tokens
+            ),
+            dtype=np.int64,
+            count=len(tokens),
+        )
+
+    def tokenize_count(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        vc = flat.combine_chunks().value_counts() if isinstance(flat, pa.ChunkedArray) else flat.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "n_p": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    counted = ds.map_batches(tokenize_count, batch_format="pyarrow")
+
+    def cms_partial(t: pa.Table) -> pa.Table:
+        tokens = t["token"].to_pylist()
+        cnt = t["n_p"].to_numpy(zero_copy_only=False)
+        js, buckets, cs = [], [], []
+        for j in range(d):
+            js.append(np.full(len(tokens), j, dtype=np.int64))
+            buckets.append(_buckets(tokens, j))
+            cs.append(cnt)
+        g = (
+            pa.table(
+                {
+                    "j": pa.array(np.concatenate(js), pa.int64()),
+                    "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+                    "c_p": pa.array(np.concatenate(cs).astype(np.int64), pa.int64()),
+                }
+            )
+            .group_by(["j", "bucket"])
+            .aggregate([("c_p", "sum")])
+        )
+        return g.rename_columns(["j", "bucket", "c_p"])
+
+    cms = (
+        combiner_aggregate(
+            counted.map_batches(cms_partial, batch_format="pyarrow"),
+            ["j", "bucket"],
+            [("c_p", "sum", "c")],
+            num_parts=2,
+        )
+        .to_pandas()  # the d·w counter matrix — bounded, never row count
+    )
+    cms_mat = np.zeros((d, w), dtype=np.int64)
+    cms_mat[cms["j"].to_numpy(), cms["bucket"].to_numpy()] = cms["c"].to_numpy()
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"), ("token", "ascending")])
+        return t.take(idx.slice(0, k))
+
+    # block-local candidates (≤ k rows per partition block reach the
+    # driver — never the vocabulary)
+    top = (
+        combiner_aggregate(counted, ["token"], [("n_p", "sum", "n")], num_parts=4)
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(k)
+    )
+
+    tokens = top["token"].tolist()
+    est = np.min(
+        np.stack([cms_mat[j, _buckets(tokens, j)] for j in range(d)]), axis=0
+    )
+    return pa.table(
+        {
+            "rk": pa.array(np.arange(1, len(tokens) + 1), pa.int64()),
+            "token": pa.array(tokens, pa.string()),
+            "true_n": pa.array(top["n"].to_numpy(), pa.int64()),
+            "est_n": pa.array(est, pa.int64()),
+        }
+    )

@@ -123,6 +123,7 @@ SQL_CHECKED = [
     "events_value_percentiles_by_type",  # exact grouped two-pass quantiles
     "customer_event_counts",  # left-outer grouped count, zeros included
     "events_user_trailing_window",  # RANGE-frame trailing sum, peer-inclusive
+    "token_counts_cms",  # count-min sketch, md5 buckets recomputed in SQL
 ]
 
 

@@ -675,10 +675,23 @@ def order_priority_revenue(sf_dir: str, *, num_buckets: int = 16):
     )
 
 
-def asof_last_event_per_order(sf_dir: str, *, num_buckets: int = 8):
-    """As-of join: latest event (by ts ≤ o_orderdate) per order, matched
-    on customer key. Bucket by key, merge_asof within buckets."""
-    from .functions.relational import asof_join_group, tag_and_bucket
+def asof_last_event_per_order(sf_dir: str, *, num_parts: int = 32):
+    """As-of LEFT join: latest event (by ts ≤ o_orderdate) per order,
+    matched on customer key — Arrow/numpy end to end (round-3 verdict
+    killed the pandas ``merge_asof`` + padded-null dtype-repair fold).
+
+    Scale shape (same as ``events_user_trailing_window``): hash(key) →
+    coarse ``_part`` (ONE exchange, task count bounded by ``num_parts``
+    regardless of key cardinality), then per partition one lexsort of
+    the unioned rows by (key, ts, side) with events sorting BEFORE
+    orders at ts ties (backward-inclusive as-of), a running maximum
+    over event positions (``np.maximum.accumulate``) giving every order
+    row the latest event at-or-before it, and a key-equality gather to
+    null out hits that leaked across a key boundary. No composite-int
+    arithmetic, so nothing can overflow."""
+    import pyarrow.compute as pc
+
+    from .functions.agg import hash_part
 
     orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
@@ -687,57 +700,63 @@ def asof_last_event_per_order(sf_dir: str, *, num_buckets: int = 8):
         os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
     )
 
-    def prep_orders(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t2 = pa.table(
+    def _prep(t: pa.Table, key_col: str, ts_col: str, okey, eid, side_val: int) -> pa.Table:
+        out = pa.table(
             {
-                "k": pc.cast(t["o_custkey"], pa.int64()),
-                "o_orderkey": t["o_orderkey"],
-                "o_ts": pc.cast(t["o_orderdate"], pa.int64()),
-                "event_id": pa.nulls(len(t), pa.int64()),
-                "e_ts": pa.nulls(len(t), pa.int64()),
+                "k": pc.cast(t[key_col], pa.int64()),
+                "ts": pc.cast(t[ts_col], pa.int64()),
+                "o_orderkey": okey(t),
+                "event_id": eid(t),
+                "side": pa.array(np.full(len(t), side_val, dtype=np.int8)),
             }
         )
-        return tag_and_bucket(t2, "l", "k", num_buckets)
+        part = hash_part(out, ["k"], num_parts)
+        return out.append_column("_part", pa.array(part, pa.int32()))
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        return _prep(
+            t, "o_custkey", "o_orderdate",
+            lambda x: pc.cast(x["o_orderkey"], pa.int64()),
+            lambda x: pa.nulls(len(x), pa.int64()), 1,
+        )
 
     def prep_events(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t2 = pa.table(
-            {
-                "k": pc.cast(t["user_id"], pa.int64()),
-                "o_orderkey": pa.nulls(len(t), pa.int64()),
-                "o_ts": pa.nulls(len(t), pa.int64()),
-                "event_id": t["event_id"],
-                "e_ts": pc.cast(t["ts"], pa.int64()),
-            }
+        return _prep(
+            t, "user_id", "ts",
+            lambda x: pa.nulls(len(x), pa.int64()),
+            lambda x: pc.cast(x["event_id"], pa.int64()), 0,
         )
-        return tag_and_bucket(t2, "r", "k", num_buckets)
 
-    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
-        out = asof_join_group(g, key="k", left_time="o_ts", right_time="e_ts")
-        if not len(out):
-            return pd.DataFrame(
-                {"o_orderkey": pd.Series(dtype="int64"), "event_id": pd.Series(dtype="Int64")}
+    def asof_part(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        okey = pc.fill_null(g["o_orderkey"], -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = pc.fill_null(g["event_id"], -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((side, ts, k))  # events (side=0) before orders at equal ts
+        k, ts, side, okey, eid = k[order], ts[order], side[order], okey[order], eid[order]
+        n = len(k)
+        marker = np.where(side == 0, np.arange(n, dtype=np.int64), np.int64(-1))
+        last_ev = np.maximum.accumulate(marker)
+        om = side == 1
+        le = last_ev[om]
+        safe = np.maximum(le, 0)
+        valid = (le >= 0) & (k[safe] == k[om])
+        if not om.any():
+            return pa.table(
+                {"o_orderkey": pa.array([], pa.int64()), "event_id": pa.array([], pa.int64())}
             )
-        # restore dtypes pandas coerced while materializing the padded
-        # union (int64+null → float64); do it here so the returned
-        # Dataset carries the final schema and the caller never collects.
-        # A bucket with zero events drops the all-null event_id column
-        # entirely — reinstate it as nulls (left join semantics).
-        ev = out["event_id"] if "event_id" in out.columns else pd.Series(pd.NA, index=out.index)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "o_orderkey": out["o_orderkey"].astype("int64"),
-                "event_id": ev.astype("Int64"),
+                "o_orderkey": pa.array(okey[om], pa.int64()),
+                "event_id": pa.array(eid[safe], pa.int64(), mask=~valid),
             }
         )
 
     both = orders.map_batches(prep_orders, batch_format="pyarrow").union(
         events.map_batches(prep_events, batch_format="pyarrow")
     )
-    return both.groupby("bucket").map_groups(asof_group, batch_format="pandas")
+    return both.groupby("_part").map_groups(asof_part, batch_format="pyarrow")
 
 
 def events_tumbling_window(sf_dir: str, *, window_sec: int = 3600):
@@ -1236,6 +1255,7 @@ def dedup_clusters(
     from ray.data.aggregate import Sum as _Sum
 
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         cand = bucket_lookup_join(
             edges, labels, left_key="src", right_key="node",
@@ -1249,8 +1269,16 @@ def dedup_clusters(
         ).materialize()
         s = labels.aggregate(_Sum("label", alias_name="s"))["s"]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # a component with diameter > max_iters would return unconverged
+        # (wrong) labels silently — refuse instead (round-3 advice)
+        raise RuntimeError(
+            f"dedup_clusters label propagation did not converge within {max_iters} "
+            "rounds (a cluster's diameter exceeds max_iters); raise max_iters"
+        )
 
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "cluster": t["label"]}),
@@ -3515,10 +3543,14 @@ def events_user_trailing_window(sf_dir: str, *, window_sec: int = 3600, num_part
     Fully vectorized, no per-key loop: hash(user) → coarse ``_part``,
     one lexsort per partition by (user, ts), then BOTH frame bounds
     come from two ``np.searchsorted`` calls over a composite key
-    ``uid·2⁴⁵ + (ts − ts_min)`` (the uid stride dominates the
-    normalized-ts range, so a bound can never cross into another
-    user's run) and the sums are prefix-sum differences — integer
-    cents, so accumulation order is irrelevant."""
+    ``rank·stride + (ts − ts_min)`` where ``rank`` is the user's DENSE
+    per-partition rank (so arbitrary uid values can't overflow int64 —
+    round-3 advice: raw ``uid·2⁴⁵`` silently wrapped past uid ≥ 2¹⁸)
+    and ``stride > ts span`` (so a bound can never cross into another
+    user's run); the sums are prefix-sum differences — integer cents,
+    so accumulation order is irrelevant. ``ranks·stride`` fitting int64
+    is asserted: it holds up to ~3.5 M users/partition at a month-scale
+    µs span; raise ``num_parts`` past that."""
     from .functions.agg import hash_part
 
     ds = _read_parquet(
@@ -3541,9 +3573,23 @@ def events_user_trailing_window(sf_dir: str, *, window_sec: int = 3600, num_part
         order = np.lexsort((tsus, uid))
         uid, tsus, eid, cents = uid[order], tsus[order], eid[order], cents[order]
         ts_norm = tsus - tsus.min() if n else tsus
-        STRIDE = np.int64(1) << np.int64(45)  # > any month-scale µs range
-        comp = uid * STRIDE + ts_norm
-        lo = np.searchsorted(comp, uid * STRIDE + np.maximum(ts_norm - w_us, 0), side="left")
+        # dense per-partition user ranks (uid is sorted, so a boundary
+        # diff is the factorization) — composite stays monotone for ANY
+        # uid value, unlike a raw uid stride
+        ranks = (
+            np.concatenate(([0], np.cumsum(uid[1:] != uid[:-1]))).astype(np.int64)
+            if n
+            else np.zeros(0, dtype=np.int64)
+        )
+        stride = np.int64(int(ts_norm.max()) + 1) if n else np.int64(1)
+        if n and (int(ranks[-1]) + 1) * int(stride) >= 2**63:
+            raise ValueError(
+                "trailing-window composite would overflow int64: "
+                f"{int(ranks[-1]) + 1} users x {int(stride)} us span in one "
+                "partition; raise num_parts"
+            )
+        comp = ranks * stride + ts_norm
+        lo = np.searchsorted(comp, ranks * stride + np.maximum(ts_norm - w_us, 0), side="left")
         hi = np.searchsorted(comp, comp, side="right")  # include ts peers
         pref = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(cents, out=pref[1:])

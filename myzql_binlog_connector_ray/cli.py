@@ -26,10 +26,15 @@ import sys
 
 
 def _segment_paths(cfg) -> list[str]:
+    from .kernel.constants import segment_sort_key
+
     paths = sorted(
-        os.path.join(cfg.segments_dir, p)
-        for p in os.listdir(cfg.segments_dir)
-        if p.startswith("binlog.")
+        (
+            os.path.join(cfg.segments_dir, p)
+            for p in os.listdir(cfg.segments_dir)
+            if p.startswith("binlog.")
+        ),
+        key=segment_sort_key,
     )
     if not paths:
         raise SystemExit(f"no binlog.* segments in {cfg.segments_dir}")

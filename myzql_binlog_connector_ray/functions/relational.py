@@ -6,8 +6,9 @@
   B`` to each, union with a side tag, ``groupby(bucket)`` co-locates
   matching keys, join inside ``map_groups``. One shuffle, B-way
   parallel.
-- as-of join: bucket by key, sort by time within bucket, settle with
-  ``pandas.merge_asof`` per bucket.
+- as-of join: lives in ``api.asof_last_event_per_order`` — coarse key
+  partitions + one lexsort + a running-maximum scan over the unioned
+  sides (Arrow/numpy; no pandas ``merge_asof``).
 - windowed aggregates / sessionization over an ordered event log:
   ``groupby(key).map_groups`` with the window logic over the sorted
   group (Ray Data has no event-time watermarks; the ordering
@@ -22,8 +23,18 @@ import pyarrow as pa
 
 
 def hash_bucket(values, num_buckets: int) -> np.ndarray:
-    keys = np.asarray([str(v) for v in values], dtype=object)
-    return (pd.util.hash_array(keys, categorize=False) % num_buckets).astype(np.int32)
+    """Value-stable bucket id from a column of any dtype — vectorized
+    (arrow → numpy, zero-copy for numerics, then one ``hash_array``
+    call). Callers joining two sides MUST cast both keys to the same
+    dtype before bucketing: ``hash_array`` hashes the bit pattern, so
+    e.g. int32 −1 and int64 −1 land in different buckets."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        values = values.to_numpy(zero_copy_only=False)
+    else:
+        values = np.asarray(values)
+    return (pd.util.hash_array(values, categorize=False) % num_buckets).astype(np.int32)
 
 
 class BroadcastJoiner:
@@ -76,7 +87,7 @@ class BroadcastJoiner:
 
 def tag_and_bucket(batch: pa.Table, side: str, key: str, num_buckets: int) -> pa.Table:
     """Prepare one side of a partitioned hash join."""
-    b = hash_bucket(batch[key].to_pylist(), num_buckets)
+    b = hash_bucket(batch[key], num_buckets)
     out = batch.append_column("bucket", pa.array(b, pa.int32()))
     return out.append_column("side", pa.array([side] * len(b), pa.string()))
 
@@ -90,12 +101,11 @@ def bucket_join_groups(
 ) -> pa.Table:
     """One bucket group (both sides unioned) → inner-joined rows.
 
-    Takes the group as a ``pa.Table`` (``batch_format="pyarrow"``) so the
-    null-padded union columns never round-trip through pandas as a mixed
-    int64+null column (which pandas coerces to float64 — the round-1
-    ``order_priority_revenue`` hash mismatch). Each side's padding
-    columns (all-null by construction) are dropped *before* the pandas
-    merge, so every surviving column converts with its exact dtype.
+    Arrow end to end: each side's padding columns (all-null by
+    construction) are dropped, then the join is an in-partition Acero
+    hash join (``pa.Table.join``) — no pandas round-trip, so int64
+    never leaks to float64 (the round-1 ``order_priority_revenue``
+    hash mismatch) and no padded-null dtype repair is needed.
     """
     import pyarrow.compute as pc
 
@@ -113,8 +123,13 @@ def bucket_join_groups(
     right_t = right_t.drop_columns(
         [c for c in right_t.column_names if c != key and right_t[c].null_count == len(right_t)]
     )
-    merged = left_t.to_pandas().merge(right_t.to_pandas(), on=key, suffixes=suffixes)
-    return pa.Table.from_pandas(merged, preserve_index=False)
+    return left_t.join(
+        right_t.combine_chunks(),
+        keys=key,
+        join_type="inner",
+        left_suffix=suffixes[0],
+        right_suffix=suffixes[1],
+    )
 
 
 def bucket_lookup_join(
@@ -145,69 +160,50 @@ def bucket_lookup_join(
         cols = {c: t[c] for c in left_names}
         cols[out_col] = pa.nulls(len(t), value_type)
         out = pa.table(cols)
-        b = hash_bucket(t[left_key].to_pylist(), num_buckets)
+        b = hash_bucket(t[left_key], num_buckets)
         return out.append_column("bucket", pa.array(b, pa.int32())).append_column(
-            "side", pa.array(["l"] * len(t), pa.string())
+            "side", pa.array(np.zeros(len(t), dtype=np.int8))
         )
 
     def prep_right(t: pa.Table) -> pa.Table:
+        key_cast = pc.cast(t[right_key], left_types[left_key])
         cols = {}
         for name in left_names:
             if name == left_key:
-                cols[name] = pc.cast(t[right_key], left_types[name])
+                cols[name] = key_cast
             else:
                 cols[name] = pa.nulls(len(t), left_types[name])
         cols[out_col] = pc.cast(t[value_col], value_type)
         out = pa.table(cols)
-        b = hash_bucket(t[right_key].to_pylist(), num_buckets)
+        # hash the CASTED key so both sides bucket identically
+        b = hash_bucket(key_cast, num_buckets)
         return out.append_column("bucket", pa.array(b, pa.int32())).append_column(
-            "side", pa.array(["r"] * len(t), pa.string())
+            "side", pa.array(np.ones(len(t), dtype=np.int8))
         )
 
     def join_group(g: pa.Table) -> pa.Table:
-        mask = pc.equal(g["side"], "l")
-        lt = g.filter(mask)
-        rt = g.filter(pc.invert(mask))
-        lookup = dict(zip(rt[left_key].to_pylist(), rt[out_col].to_pylist()))
-        keys = lt[left_key].to_pylist()
-        vals = [lookup.get(k) for k in keys]
-        keep = [i for i, v in enumerate(vals) if v is not None]
-        out = lt.drop_columns(["bucket", "side", out_col]).take(keep)
-        return out.append_column(out_col, pa.array([vals[i] for i in keep], value_type))
+        side = g["side"].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0))
+        rt = g.filter(pa.array(side == 1))
+        rkeys = rt[left_key]
+        if isinstance(rkeys, pa.ChunkedArray):
+            rkeys = rkeys.combine_chunks()
+        # vectorized probe: position of each left key in the right side
+        # (first match wins — right keys are unique per the lookup
+        # contract), then one take() of the value column, which handles
+        # list-typed values (Acero can't) without any Python loop.
+        pos = pc.index_in(lt[left_key], value_set=rkeys)
+        keep = pos.is_valid()
+        lt = lt.filter(keep)
+        pos = pc.filter(pos, keep)
+        vals = rt[out_col].take(pos)
+        out = lt.drop_columns(["bucket", "side", out_col])
+        return out.append_column(out_col, pc.cast(vals, value_type))
 
     both = left.map_batches(prep_left, batch_format="pyarrow").union(
         right.map_batches(prep_right, batch_format="pyarrow")
     )
     return both.groupby("bucket").map_groups(join_group, batch_format="pyarrow")
-
-
-def asof_join_group(
-    group: pd.DataFrame,
-    key: str,
-    left_time: str,
-    right_time: str,
-    left_side: str = "l",
-    right_side: str = "r",
-) -> pd.DataFrame:
-    """One key-bucket group → as-of join (latest right row with
-    right_time <= left_time per left row, matched by key)."""
-    left = group[group["side"] == left_side].drop(columns=["side", "bucket"]).dropna(axis=1, how="all")
-    right = group[group["side"] == right_side].drop(columns=["side", "bucket"]).dropna(axis=1, how="all")
-    if not len(left):
-        return pd.DataFrame()
-    left = left.sort_values(left_time, kind="stable")
-    if not len(right):
-        out = left.copy()
-        return out
-    right = right.sort_values(right_time, kind="stable")
-    return pd.merge_asof(
-        left,
-        right,
-        left_on=left_time,
-        right_on=right_time,
-        by=key,
-        direction="backward",
-    )
 
 
 def tumbling_window_agg(

@@ -121,3 +121,21 @@ DELETE_EVENTS = frozenset({EventType.DELETE_ROWS_EVENT_V0, EventType.DELETE_ROWS
 EVENT_HEADER_LEN = 19
 CRC_LEN = 4
 BINLOG_MAGIC = b"\xfebin"
+
+
+def segment_sort_key(name: str) -> tuple:
+    """Commit-order sort key for binlog file names.
+
+    MySQL widens the numeric suffix past ``.999999`` (``binlog.1000000``),
+    so a plain string sort misorders a long-lived stream
+    (``binlog.1000000`` < ``binlog.999999`` lexicographically — it would
+    silently pick the wrong LWW winner). Sort by ``(stem, int(suffix))``
+    when the suffix is numeric; otherwise plain string order.
+    """
+    import os as _os
+
+    base = _os.path.basename(name)
+    stem, _, suf = base.rpartition(".")
+    if suf.isdigit():
+        return (stem, int(suf), base)
+    return (base, -1, base)

@@ -20,7 +20,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Optional
 
-from ..kernel.constants import BINLOG_MAGIC, EventType
+from ..kernel.constants import BINLOG_MAGIC, EventType, segment_sort_key
 from ..kernel.event_codec import parse_event_header, parse_rotate
 from .mysql_wire import MysqlConnection
 
@@ -88,7 +88,7 @@ class BinlogTailer:
         no ``stop_file`` applies to the file the stream is currently in.
         """
         if self.stop_file is not None:
-            if self._seg_name > self.stop_file:
+            if segment_sort_key(self._seg_name) > segment_sort_key(self.stop_file):
                 return True
             if self._seg_name == self.stop_file:
                 return self.stop_position is None or log_pos >= self.stop_position
@@ -150,7 +150,9 @@ def resume_point(out_dir: str, default_file: str = "binlog.000001") -> tuple[str
     Returns (file, position=4); ``default_file`` when the dir is empty.
     """
     try:
-        segs = sorted(f for f in os.listdir(out_dir) if f.startswith("binlog."))
+        segs = sorted(
+            (f for f in os.listdir(out_dir) if f.startswith("binlog.")), key=segment_sort_key
+        )
     except FileNotFoundError:
         segs = []
     if not segs:

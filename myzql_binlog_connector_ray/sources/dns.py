@@ -120,6 +120,11 @@ def parse_a_response(resp: bytes, query_id: int) -> bytes:
         raise DnsError("response id mismatch")
     if not flags & 0x8000:
         raise DnsError("not a response")
+    if flags & 0x0200:
+        # TC: answer section is truncated — parsing it as final could
+        # return a wrong/partial record; callers should retry over TCP
+        # (not implemented; reference is UDP-only)
+        raise DnsError("truncated response (TC bit set)")
     rcode = flags & 0x000F
     if rcode != 0:
         raise DnsError(f"server returned rcode {rcode}")
@@ -156,8 +161,12 @@ def dns_lookup_a(
     sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     try:
         sock.settimeout(timeout)
-        sock.sendto(query, (socket.inet_ntoa(nameserver), port))
-        resp, _addr = sock.recvfrom(2048)
+        # connect() the UDP socket so the kernel drops datagrams from any
+        # other source — an off-path spoof then needs the 16-bit id AND
+        # the (unknowable to it) local ephemeral port
+        sock.connect((socket.inet_ntoa(nameserver), port))
+        sock.send(query)
+        resp = sock.recv(2048)
     except OSError as e:
         raise DnsError(f"udp exchange failed: {e}") from e
     finally:

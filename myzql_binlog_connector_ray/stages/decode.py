@@ -36,6 +36,7 @@ from ..kernel.constants import (
     INSERT_EVENTS,
     ROW_EVENT_TYPES,
     EventType,
+    segment_sort_key,
 )
 from ..kernel.event_codec import (
     iter_events,
@@ -177,9 +178,10 @@ class SegmentDecoder:
     # -- per-segment decode ------------------------------------------------
 
     def _segment_in_range(self, seg: str) -> bool:
-        if self.from_file is not None and seg < self.from_file:
+        k = segment_sort_key(seg)
+        if self.from_file is not None and k < segment_sort_key(self.from_file):
             return False
-        if self.to_file is not None and seg > self.to_file:
+        if self.to_file is not None and k > segment_sort_key(self.to_file):
             return False
         return True
 
@@ -508,9 +510,7 @@ class SegmentDecoder:
                 key = tuple(image[i] for i in key_idx)
                 store[key] = (seg, ordinal, idx + 1, dml, image)
 
-        import os
-
-        for name, blob in sorted(zip(names, blobs), key=lambda nb: os.path.basename(nb[0])):
+        for name, blob in sorted(zip(names, blobs), key=lambda nb: segment_sort_key(nb[0])):
             self._decode_segment(name, blob, sink)
 
         vals = store.values()

@@ -31,6 +31,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ordinal_range_waves12": api.ordinal_range_waves12,
         "envelope_counters_inserts": api.envelope_counters_inserts,
         "ingest_exactly_once": api.ingest_exactly_once,
+        # multi-table typed ingest: one decode pass, per-table lakes
+        "lake_upsert_lww_multi": api.lake_upsert_lww_multi,
+        "lake_counters_multi": api.lake_counters_multi,
         # training-data operators
         "dedup_exact": api.dedup_exact,
         "token_count_by_lang": api.token_count_by_lang,
@@ -517,6 +520,16 @@ def oracle_sql() -> dict[str, str]:
         # exactly-once: the double-replay lake must equal the
         # single-replay final state, value-for-value
         "ingest_exactly_once": _LAKE_FINAL_SQL,
+        # multi-table ingest: the repos namespace out of the one-pass
+        # two-table replay must equal the single-table flagship state,
+        # and the counters namespace must equal its closed-form insert
+        # set — wrong routing/lost tables/watermark bleed all fail
+        "lake_upsert_lww_multi": _LAKE_FINAL_SQL,
+        "lake_counters_multi": """
+            SELECT CAST(doc_id AS BIGINT) AS id,
+                   CAST(length(text) AS BIGINT) AS val
+            FROM documents WHERE doc_id % 11 = 0
+        """,
         # IVM: the incrementally maintained per-repo view must equal
         # stats recomputed closed-form over the expected FINAL lake
         "lake_repo_stats_incremental": f"""

@@ -77,6 +77,59 @@ def lake_upsert_lww(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
     )
 
 
+def _multi_lake(sf_dir: str, num_partitions: int, concurrency=None) -> str:
+    """Namespaced multi-table lake for this fixture set: repos base
+    snapshot + ONE multi-table ingest pass (decode once, apply every
+    registered table). Re-invocations replay the same stream and the
+    per-(table, partition) watermark manifests make that a no-op — so
+    both multi queries share one ingest regardless of call order."""
+    from .pipelines.ingest import run_ingest_multi
+
+    fx = _fixtures(sf_dir)
+    lake_root = os.path.join(fx["root"], f"multi_lake_p{num_partitions}")
+    done = os.path.join(lake_root, "_BASE_DONE")
+    if not os.path.exists(done):
+        init_lake(pq.read_table(fx["base_lake"]), os.path.join(lake_root, "app.repos"), num_partitions)
+        with open(done, "w") as f:
+            f.write("ok")
+    run_ingest_multi(
+        fx["segment_paths"], lake_root, num_partitions=num_partitions, concurrency=concurrency
+    )
+    return lake_root
+
+
+def lake_upsert_lww_multi(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
+    """Multi-table typed ingest (round-4 headline): ONE decode pass over
+    the segments emits typed change streams for BOTH fixture tables
+    (app.repos + metrics.counters), each applied into its own lake
+    namespace with its own keys/schema/watermarks. Returns the repos
+    namespace's final state — the oracle is the same closed-form LWW
+    SQL as the single-table flagship, so routing rows to the wrong
+    table, losing a table, or cross-table watermark interference all
+    fail the value check."""
+    from .pipelines.ingest import read_lake
+
+    root = _multi_lake(sf_dir, num_partitions, concurrency)
+    return read_lake(os.path.join(root, "app.repos")).map_batches(
+        lambda t: t.select(FINAL_COLUMNS).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
+
+
+def lake_counters_multi(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
+    """The second table out of the SAME one-pass multi-table ingest
+    (shares the lake with lake_upsert_lww_multi): metrics.counters
+    final state, keyed on ``id`` — single-column int primary key, no
+    content column, no base snapshot."""
+    from .pipelines.ingest import read_lake
+
+    root = _multi_lake(sf_dir, num_partitions, concurrency)
+    return read_lake(os.path.join(root, "metrics.counters")).map_batches(
+        lambda t: t.select(["id", "val"]).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
+
+
 def changes_count_by_dml(sf_dir: str, *, concurrency=None):
     fx = _fixtures(sf_dir)
     ds = decode_envelope(read_segments(fx["segment_paths"]), concurrency=concurrency)

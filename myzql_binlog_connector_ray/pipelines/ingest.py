@@ -37,6 +37,26 @@ REPOS_TYPED_TYPES = {
 }
 FINAL_COLUMNS = ["repo", "path", "commit", "lang", "content", "stars", "content_sha256"]
 
+#: per-table apply configuration for the multi-table ingest path —
+#: (schema, table) → primary-key columns, typed Arrow schema, final lake
+#: columns. A deployment registers every table its filter replicates.
+TABLE_CONFIGS: dict[tuple[str, str], dict] = {
+    ("app", "repos"): dict(
+        keys=["repo", "path"],
+        types=REPOS_TYPED_TYPES,
+        final_columns=FINAL_COLUMNS,
+    ),
+    ("metrics", "counters"): dict(
+        keys=["id"],
+        types={"id": pa.int64(), "val": pa.int64()},
+        final_columns=["id", "val"],
+    ),
+}
+
+
+def table_ns(tt: tuple[str, str]) -> str:
+    return f"{tt[0]}.{tt[1]}"
+
 
 def auto_concurrency(concurrency=None):
     """Actor-pool sizing that cannot starve the read/shuffle stages.
@@ -426,6 +446,86 @@ def run_ingest(
     log.debug(
         "ingest: %d segments → %d/%d partitions committed (%d rows)",
         len(segment_paths), committed, len(rows), sum(s.get("rows", 0) for s in rows),
+    )
+    return rows
+
+
+def run_ingest_multi(
+    segment_paths: list[str],
+    lake_root: str,
+    *,
+    tables: tuple[tuple[str, str], ...] = (("app", "repos"), ("metrics", "counters")),
+    num_partitions: int = 32,
+    concurrency=None,
+    table_configs: Optional[dict] = None,
+    registry: Optional[dict] = None,
+    min_ordinal: Optional[int] = None,
+    max_ordinal: Optional[int] = None,
+) -> list[dict]:
+    """Multi-table transactional ingest: ONE decode pass over the
+    segment bytes emits a per-table typed change stream for EVERY
+    listed table (the reference's envelope mode is inherently
+    multi-table — src/parquet_writer.zig:124-134 — and a real CDC
+    deployment replicates its whole filter set), applied into
+    namespaced lakes ``lake_root/<schema>.<table>/`` in one Dataset
+    job. Per-(table, partition) watermark manifests keep exactly-once
+    semantics independent per table; re-running is a no-op.
+
+    Uses the staged exchange unconditionally: the decoder writes
+    part-bucketed change files under ``staging/<ns>/part=P/`` and
+    returns tiny uniform manifest rows, so heterogeneous table schemas
+    never meet in one Dataset block."""
+    import shutil as _shutil
+    from functools import partial as _partial
+
+    from ..stages.apply_arrow import apply_staged_parts_multi
+
+    cfgs = table_configs or TABLE_CONFIGS
+    tables = [tuple(t) for t in tables]
+    cfg_by_ns = {table_ns(tt): cfgs[tt] for tt in tables}
+
+    staging_dir = os.path.join(lake_root, "_staging")
+    _shutil.rmtree(staging_dir, ignore_errors=True)  # stale stage files must not leak in
+
+    segments = read_segments(segment_paths)
+    manifests = _dispatch_decode(
+        segments,
+        dict(
+            mode="typed",
+            registry=registry or SCHEMA_REGISTRY,
+            target_tables=tables,
+            typed_types_by_table={tt: cfgs[tt]["types"] for tt in tables},
+            dedup_keys_by_table={tt: cfgs[tt]["keys"] for tt in tables},
+            num_partitions=num_partitions,
+            staging_dir=staging_dir,
+            min_ordinal=min_ordinal,
+            max_ordinal=max_ordinal,
+        ),
+        concurrency,
+    )
+    # the (semantically required) barrier: every segment staged. Tiny —
+    # ≤ #segments × #tables × #partitions manifest rows.
+    pairs = sorted({(r["table_ns"], r["part"]) for r in manifests.take_all()})
+    summaries = ray.data.from_items(
+        [{"table_ns": ns, "part": p} for ns, p in pairs],
+        override_num_blocks=max(1, len(pairs)),
+    ).map_batches(
+        _partial(
+            apply_staged_parts_multi,
+            staging_root=staging_dir,
+            lake_root=lake_root,
+            table_cfgs=cfg_by_ns,
+            write=True,
+        ),
+        batch_format="pyarrow",
+    )
+    rows = summaries.take_all()  # small: one row per (table, partition)
+    _shutil.rmtree(staging_dir, ignore_errors=True)
+    from ..logging_config import get_logger
+
+    get_logger("pipeline").debug(
+        "multi-ingest: %d segments → %d tables, %d (table, partition) commits",
+        len(segment_paths), len(tables), sum(1 for s in rows if not s.get("skipped")),
     )
     return rows
 

@@ -71,8 +71,25 @@ def add_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
     return batch.append_column("part", pa.array(part, pa.int32()))
 
 
-def lww_combine(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: keep only the latest change per (repo, path).
+def partition_of_cols(table: pa.Table, key_cols: list[str], num_partitions: int) -> np.ndarray:
+    """``partition_of`` generalized to any primary-key column list (the
+    multi-table ingest path): every key column is cast to string then
+    binary and joined with ``\\x00``. For the ``(repo, path)`` string
+    pair this is byte-identical to ``partition_of`` (string→string cast
+    is a no-op), so repos lakes built by either path interoperate."""
+    import pyarrow.compute as pc
+
+    arrs = [pc.cast(pc.cast(table[k], pa.string()), pa.binary()) for k in key_cols]
+    joined = arrs[0] if len(arrs) == 1 else pc.binary_join_element_wise(*arrs, b"\x00")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    keys = joined.to_numpy(zero_copy_only=False)
+    return (pd.util.hash_array(keys, categorize=False) % num_partitions).astype(np.int32)
+
+
+def lww_combine(batch: pa.Table, key_cols: Optional[list[str]] = None) -> pa.Table:
+    """Per-batch combiner: keep only the latest change per key
+    (default ``(repo, path)``).
 
     Associative pre-reduce of the LWW fold — run before the groupby so
     the all-to-all exchange ships at most one row per key per block.
@@ -87,7 +104,7 @@ def lww_combine(batch: pa.Table) -> pa.Table:
     ordered = batch.take(
         pc.sort_indices(batch, sort_keys=[(c, "ascending") for c in ORDER_COLS])
     )
-    return _last_per_key(ordered.combine_chunks()).select(batch.column_names)
+    return _last_per_key(ordered.combine_chunks(), key_cols=key_cols).select(batch.column_names)
 
 
 def sha256_hex(values) -> list[str]:

@@ -28,23 +28,26 @@ from .apply import KEY_COLS, ORDER_COLS, sha256_hex
 _ORDER_KEYS = [("ordinal", "ascending"), ("event_row_index", "ascending")]
 
 
-def _last_per_key(t: pa.Table) -> pa.Table:
-    agg_cols = [c for c in t.column_names if c not in KEY_COLS]
+def _last_per_key(t: pa.Table, key_cols: Optional[list[str]] = None) -> pa.Table:
+    keys = key_cols or KEY_COLS
+    agg_cols = [c for c in t.column_names if c not in keys]
     # skip_nulls=False: "last" must take the last ROW's value even when
     # it is null — otherwise an updated key keeps stale base-row values
     # for columns the change row left null (e.g. content_sha256)
     opts = pc.ScalarAggregateOptions(skip_nulls=False)
-    out = t.group_by(KEY_COLS, use_threads=False).aggregate([(c, "last", opts) for c in agg_cols])
+    out = t.group_by(keys, use_threads=False).aggregate([(c, "last", opts) for c in agg_cols])
     # rebuild by name — aggregate's output column order is an implementation detail
-    return pa.table({**{k: out[k] for k in KEY_COLS}, **{c: out[f"{c}_last"] for c in agg_cols}})
+    return pa.table({**{k: out[k] for k in keys}, **{c: out[f"{c}_last"] for c in agg_cols}})
 
 
-def lww_fold_arrow(base: Optional[pa.Table], changes: pa.Table) -> pa.Table:
+def lww_fold_arrow(
+    base: Optional[pa.Table], changes: pa.Table, key_cols: Optional[list[str]] = None
+) -> pa.Table:
     changes = changes.take(pc.sort_indices(changes, sort_keys=_ORDER_KEYS))
-    reduced = _last_per_key(changes)
+    reduced = _last_per_key(changes, key_cols)
     if base is not None and base.num_rows:
         merged = pa.concat_tables([base, reduced], promote_options="permissive")
-        merged = _last_per_key_ordered(merged)
+        merged = _last_per_key_ordered(merged, key_cols)
     else:
         merged = reduced
     if "dml" in merged.column_names:
@@ -53,10 +56,10 @@ def lww_fold_arrow(base: Optional[pa.Table], changes: pa.Table) -> pa.Table:
     return merged
 
 
-def _last_per_key_ordered(t: pa.Table) -> pa.Table:
+def _last_per_key_ordered(t: pa.Table, key_cols: Optional[list[str]] = None) -> pa.Table:
     """last-per-key where input row order (base first, changes after)
     decides the winner — combine chunks so order is well-defined."""
-    return _last_per_key(t.combine_chunks())
+    return _last_per_key(t.combine_chunks(), key_cols)
 
 
 def _finalize_arrow(
@@ -66,6 +69,16 @@ def _finalize_arrow(
 ) -> pa.Table:
     drop = [c for c in ("ordinal", "event_row_index", "dml", "segment", "part") if c in t.column_names]
     out = t.drop_columns(drop)
+    if "content" not in out.column_names:
+        # content-free table (multi-table ingest namespaces without a
+        # document body): no sha lineage column to maintain
+        if final_columns:
+            types = final_types or {}
+            for c in final_columns:
+                if c not in out.column_names:
+                    out = out.append_column(c, pa.nulls(out.num_rows, types.get(c, pa.string())))
+            out = out.select(final_columns)
+        return out
     if "content_sha256" in out.column_names:
         sha = out["content_sha256"]
         need_mask = pc.is_null(sha)
@@ -100,11 +113,13 @@ class ApplyPartitionArrow:
         write: bool = False,
         final_columns: Optional[list[str]] = None,
         final_types: Optional[dict] = None,
+        key_cols: Optional[list[str]] = None,
     ):
         self.lake_dir = lake_dir
         self.write = write
         self.final_columns = final_columns
         self.final_types = final_types
+        self.key_cols = key_cols or KEY_COLS
 
     def _read_base(self, part: int) -> Optional[pa.Table]:
         if self.lake_dir is None:
@@ -144,14 +159,30 @@ class ApplyPartitionArrow:
                     return self._summary(part, manifest["rows"], manifest["watermark"], True)
 
         base = self._read_base(part)
-        final = _finalize_arrow(lww_fold_arrow(base, group), self.final_columns, self.final_types)
+        final = _finalize_arrow(
+            lww_fold_arrow(base, group, self.key_cols), self.final_columns, self.final_types
+        )
 
         if not self.write:
             return final
 
-        final = final.take(pc.sort_indices(final, sort_keys=[(k, "ascending") for k in KEY_COLS]))
-        sha_col = pc.fill_null(final["content_sha256"], "").to_pylist()
-        state_sha = hashlib.sha256("\n".join(sha_col).encode()).hexdigest()
+        final = final.take(
+            pc.sort_indices(final, sort_keys=[(k, "ascending") for k in self.key_cols])
+        )
+        if "content_sha256" in final.column_names:
+            sha_col = pc.fill_null(final["content_sha256"], "").to_pylist()
+            state_sha = hashlib.sha256("\n".join(sha_col).encode()).hexdigest()
+        else:
+            # content-free table: deterministic vectorized state digest
+            # over every column's value hash (fixed-key siphash)
+            import numpy as np
+            import pandas as pd
+
+            h = np.zeros(final.num_rows, dtype=np.uint64)
+            for c in final.column_names:
+                col = final[c].to_numpy(zero_copy_only=False)
+                h = h * np.uint64(1000003) + pd.util.hash_array(col, categorize=False)
+            state_sha = hashlib.sha256(h.tobytes()).hexdigest()
         manifest = commit_partition(self.lake_dir, part, final, watermark, state_sha)
         return self._summary(part, manifest["rows"], manifest["watermark"], False)
 
@@ -172,10 +203,15 @@ class ApplyStagedPartition:
         write: bool = False,
         final_columns: Optional[list[str]] = None,
         final_types: Optional[dict] = None,
+        key_cols: Optional[list[str]] = None,
     ):
         self.staging_dir = staging_dir
         self.inner = ApplyPartitionArrow(
-            lake_dir=lake_dir, write=write, final_columns=final_columns, final_types=final_types
+            lake_dir=lake_dir,
+            write=write,
+            final_columns=final_columns,
+            final_types=final_types,
+            key_cols=key_cols,
         )
 
     def _read_staged(self, part: int) -> Optional[pa.Table]:
@@ -220,6 +256,47 @@ def apply_partition_group_arrow(
     return ApplyPartitionArrow(
         lake_dir=lake_dir, write=write, final_columns=final_columns, final_types=final_types
     )(group)
+
+
+def apply_staged_parts_multi(
+    batch: pa.Table,
+    staging_root: str = "",
+    lake_root: str = "",
+    table_cfgs: Optional[dict] = None,
+    write: bool = True,
+) -> pa.Table:
+    """Reduce side of the MULTI-table staged exchange. Input rows:
+    ``(table_ns, part)``; each row's staged change files live under
+    ``staging_root/<table_ns>/part=P/`` and apply into the namespaced
+    lake ``lake_root/<table_ns>/`` with that table's own key columns,
+    final schema, and per-partition manifest (so exactly-once
+    watermarks are independent per table). Output: one summary row per
+    (table_ns, part)."""
+    import os
+
+    outs = []
+    empty = None
+    for ns, part in zip(batch["table_ns"].to_pylist(), batch["part"].to_pylist()):
+        cfg = table_cfgs[ns]
+        stage = ApplyStagedPartition(
+            os.path.join(staging_root, ns),
+            lake_dir=os.path.join(lake_root, ns),
+            write=write,
+            final_columns=cfg.get("final_columns"),
+            final_types=cfg.get("types"),
+            key_cols=cfg.get("keys"),
+        )
+        empty = stage.inner._summary(-1, 0, -1, True).slice(0, 0)
+        changes = stage._read_staged(int(part))
+        if changes is None or changes.num_rows == 0:
+            continue
+        s = stage.inner(changes)
+        outs.append(s.add_column(0, "table_ns", pa.array([ns] * len(s), pa.string())))
+    if not outs:
+        if empty is None:
+            empty = ApplyPartitionArrow()._summary(-1, 0, -1, True).slice(0, 0)
+        return empty.add_column(0, "table_ns", pa.array([], pa.string()))
+    return pa.concat_tables(outs, promote_options="permissive")
 
 
 def apply_staged_parts(

@@ -113,6 +113,9 @@ class SegmentDecoder:
         typed_types: Optional[dict[str, pa.DataType]] = None,
         dedup_keys: Optional[list[str]] = None,
         num_partitions: Optional[int] = None,
+        target_tables: Optional[list[tuple[str, str]]] = None,
+        typed_types_by_table: Optional[dict[tuple, dict]] = None,
+        dedup_keys_by_table: Optional[dict[tuple, list[str]]] = None,
         from_file: Optional[str] = None,
         from_position: Optional[int] = None,
         to_file: Optional[str] = None,
@@ -126,6 +129,22 @@ class SegmentDecoder:
         self.filter = TableFilter(include, exclude) if (include or exclude) else None
         self.registry = registry or {}
         self.target_table = target_table
+        # multi-table typed decode: ONE pass over the segment bytes
+        # emits a per-table change stream for EVERY listed table (a real
+        # CDC deployment replicates its whole filter set, not one
+        # table). Requires the staged exchange (staging_dir +
+        # num_partitions + dedup_keys_by_table) so the map_batches
+        # output schema stays uniform: tiny manifest rows
+        # (table_ns, part, rows, path).
+        self.target_tables = target_tables
+        self.typed_types_by_table = typed_types_by_table or {}
+        self.dedup_keys_by_table = dedup_keys_by_table or {}
+        if target_tables is not None:
+            self._targets = frozenset(target_tables)
+        elif target_table is not None:
+            self._targets = frozenset([target_table])
+        else:
+            self._targets = None
         self.min_ordinal = min_ordinal
         self.max_ordinal = max_ordinal
         self.typed_types = typed_types or {}
@@ -242,7 +261,7 @@ class SegmentDecoder:
                 tm = table_maps.get(table_id)
                 if tm is None:
                     continue
-                if self.target_table is not None and (tm.database_name, tm.table_name) != self.target_table:
+                if self._targets is not None and (tm.database_name, tm.table_name) not in self._targets:
                     continue
                 try:
                     rows = parse_row_event_fast(
@@ -271,6 +290,8 @@ class SegmentDecoder:
         blobs = batch["bytes"].to_pylist()
         if self.mode == "envelope":
             return self._envelope_batch(names, blobs)
+        if self.target_tables is not None:
+            return self._typed_batch_multi(names, blobs)
         return self._typed_batch(names, blobs)
 
     def _write_segment_files(self, table: pa.Table) -> pa.Table:
@@ -368,7 +389,90 @@ class SegmentDecoder:
             return self._write_staged(table, names)
         return table
 
-    def _write_staged(self, table: pa.Table, names) -> pa.Table:
+    def _typed_batch_multi(self, names, blobs) -> pa.Table:
+        """Multi-table typed decode: one pass over the segment bytes →
+        one staged change stream PER target table (its own dedup keys,
+        types, and hash partitioning), with uniform manifest-row output
+        ``(table_ns, part, rows, path)``. The per-table LWW pre-dedup
+        is the same dict-overwrite fused combiner as the single-table
+        path (segments scanned in commit order)."""
+        assert self.staging_dir is not None and self.num_partitions is not None, (
+            "multi-table typed decode requires the staged exchange"
+        )
+        from .apply import partition_of_cols
+
+        col_names = {tt: list(self.registry[tt]) for tt in self.target_tables}
+        accs: dict[tuple, dict] = {
+            tt: {
+                "ncols": len(col_names[tt]),
+                "key_idx": [col_names[tt].index(k) for k in self.dedup_keys_by_table[tt]],
+                "store": {},
+            }
+            for tt in self.target_tables
+        }
+
+        def sink(name, ev, ordinal, tm, dml, rows):
+            import os as _os
+
+            tt = (tm.database_name, tm.table_name)
+            a = accs.get(tt)
+            if a is None or not rows:
+                return
+            seg = _os.path.basename(name)
+            b0, a0 = rows[0]
+            first = a0 if a0 is not None else b0
+            ncols = a["ncols"]
+            pad = [None] * (ncols - len(first)) if len(first) < ncols else []
+            key_idx, store = a["key_idx"], a["store"]
+            for idx, (before, after) in enumerate(rows):
+                image = after if after is not None else before
+                if pad:
+                    image = image + pad
+                store[tuple(image[i] for i in key_idx)] = (seg, ordinal, idx + 1, dml, image)
+
+        for name, blob in sorted(zip(names, blobs), key=lambda nb: segment_sort_key(nb[0])):
+            self._decode_segment(name, blob, sink)
+
+        import os as _os
+
+        outs = []
+        for tt in self.target_tables:
+            a = accs[tt]
+            if not a["store"]:
+                continue
+            vals = a["store"].values()
+            cols = {
+                "segment": pa.array([v[0] for v in vals], pa.string()),
+                "ordinal": pa.array([v[1] for v in vals], pa.int64()),
+                "event_row_index": pa.array([v[2] for v in vals], pa.int64()),
+                "dml": pa.array([v[3] for v in vals], pa.string()),
+            }
+            types = self.typed_types_by_table.get(tt, {})
+            col_lists = self._pivot_images([v[4] for v in vals], a["ncols"])
+            for i, c in enumerate(col_names[tt]):
+                cols[c] = pa.array(col_lists[i], type=types.get(c))
+            table = pa.table(cols)
+            part = partition_of_cols(table, self.dedup_keys_by_table[tt], self.num_partitions)
+            table = table.append_column("part", pa.array(part, pa.int32()))
+            ns = f"{tt[0]}.{tt[1]}"
+            staged = self._write_staged(
+                table, names, staging_dir=_os.path.join(self.staging_dir, ns)
+            )
+            outs.append(
+                staged.add_column(0, "table_ns", pa.array([ns] * len(staged), pa.string()))
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "table_ns": pa.array([], pa.string()),
+                    "part": pa.array([], pa.int32()),
+                    "rows": pa.array([], pa.int64()),
+                    "path": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    def _write_staged(self, table: pa.Table, names, staging_dir: Optional[str] = None) -> pa.Table:
         """Map side of the staged exchange: split this batch's rows by
         ``part`` and write one parquet per partition bucket. File name
         derives from the batch's segment names, so re-running the same
@@ -380,6 +484,7 @@ class SegmentDecoder:
         import numpy as np
         import pyarrow.parquet as pq
 
+        staging_dir = staging_dir or self.staging_dir
         tag = _hashlib.blake2b(
             "\x00".join(sorted(os.path.basename(n) for n in names)).encode(), digest_size=8
         ).hexdigest()
@@ -395,7 +500,7 @@ class SegmentDecoder:
             if s == e:
                 continue
             p = int(sorted_parts[s])
-            pdir = os.path.join(self.staging_dir, f"part={p}")
+            pdir = os.path.join(staging_dir, f"part={p}")
             os.makedirs(pdir, exist_ok=True)
             dest = os.path.join(pdir, f"{tag}.{self.staging_format}")
             tmp = dest + f".tmp-{uuid.uuid4().hex}"

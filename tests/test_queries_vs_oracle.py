@@ -98,6 +98,9 @@ SQL_CHECKED = [
     "distinct_users_per_day",  # exact two-level COUNT(DISTINCT)
     # round 3: the last two rows-only queries gained oracles
     "ann_topk_ivf",  # one-pass IVF training spec recomputed closed-form
+    # round 4: multi-table typed ingest (one decode pass, two lakes)
+    "lake_upsert_lww_multi",
+    "lake_counters_multi",
     "ingest_exactly_once",  # double-replay lake == single-replay lake SQL
     "dedup_clusters",  # connected components vs recursive-CTE fixpoint
     "lake_repo_stats_incremental",  # IVM view == closed-form final-lake stats

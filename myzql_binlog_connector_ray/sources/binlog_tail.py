@@ -37,7 +37,7 @@ class SegmentManifest:
 class BinlogTailer:
     conn: MysqlConnection
     out_dir: str
-    start_file: str
+    start_file: Optional[str] = None  # None → auto-discover via SHOW MASTER STATUS
     start_position: int = 4
     stop_file: Optional[str] = None
     stop_position: Optional[int] = None
@@ -107,6 +107,17 @@ class BinlogTailer:
             conn.query("SET @master_binlog_checksum='CRC32'")
         except Exception:
             pass
+        if self.start_file is None:
+            # auto-positioning: ask the server where its binlog head is
+            # (SHOW MASTER STATUS text result set) instead of requiring
+            # a hand-supplied from_binlog_file/position
+            status = conn.master_status()
+            if status is None:
+                raise RuntimeError(
+                    "binlog auto-positioning failed: server reports no binary log "
+                    "(supply start_file/start_position explicitly)"
+                )
+            self.start_file, self.start_position = status[0], max(4, status[1])
         conn.binlog_dump(
             self.start_file, self.start_position, server_id=self.server_id, non_block=self.non_block
         )
@@ -183,7 +194,7 @@ def tail_binlog_to_segments(
     user: str = "root",
     password: str = "",
     use_tls: bool = False,
-    start_file: str = "binlog.000001",
+    start_file: Optional[str] = "binlog.000001",
     start_position: int = 4,
     stop_file: Optional[str] = None,
     stop_position: Optional[int] = None,
@@ -194,9 +205,10 @@ def tail_binlog_to_segments(
     The written segments feed ``pipelines.ingest.read_segments``.
     ``resume=True`` restarts after the last closed segment in
     ``out_dir`` (a crashed tailer's half-written temp files are never
-    visible — segments close via atomic rename)."""
+    visible — segments close via atomic rename). ``start_file=None``
+    auto-discovers the server's binlog head via SHOW MASTER STATUS."""
     if resume:
-        start_file, start_position = resume_point(out_dir, start_file)
+        start_file, start_position = resume_point(out_dir, start_file or "binlog.000001")
     conn = MysqlConnection(host=host, port=port, user=user, password=password, use_tls=use_tls)
     tailer = BinlogTailer(
         conn=conn,

@@ -104,6 +104,28 @@ def _nul_str(data: bytes, pos: int) -> tuple[bytes, int]:
     return data[pos:end], end + 1
 
 
+def read_lenc_int(data: bytes, pos: int) -> tuple[Optional[int], int]:
+    """Length-encoded integer; 0xFB decodes to None (NULL in text rows)."""
+    b = data[pos]
+    if b < 0xFB:
+        return b, pos + 1
+    if b == 0xFB:
+        return None, pos + 1
+    if b == 0xFC:
+        return struct.unpack_from("<H", data, pos + 1)[0], pos + 3
+    if b == 0xFD:
+        v = data[pos + 1] | (data[pos + 2] << 8) | (data[pos + 3] << 16)
+        return v, pos + 4
+    return struct.unpack_from("<Q", data, pos + 1)[0], pos + 9
+
+
+def read_lenc_str(data: bytes, pos: int) -> tuple[Optional[bytes], int]:
+    n, pos = read_lenc_int(data, pos)
+    if n is None:
+        return None, pos
+    return data[pos : pos + n], pos + n
+
+
 # ------------------------------------------------------------ handshake
 
 
@@ -188,11 +210,19 @@ def scramble_caching_sha2(password: str, seed: bytes) -> bytes:
     return bytes(a ^ b for a, b in zip(h1, h3))
 
 
-def compute_auth_response(plugin: str, password: str, seed: bytes) -> bytes:
+def compute_auth_response(plugin: str, password: str, seed: bytes, use_tls: bool = False) -> bytes:
     if plugin == "mysql_native_password":
         return scramble_native_password(password, seed)
     if plugin == "caching_sha2_password":
         return scramble_caching_sha2(password, seed)
+    if plugin == "sha256_password":
+        # reference: src/mysql/auth.zig:14,28-29 — over TLS the protocol
+        # is the cleartext password; on an insecure channel the client
+        # sends 0x01 to request the server RSA key and answers the
+        # AuthMoreData key packet with OAEP(password ⊕ seed)
+        if not password:
+            return b""
+        return password.encode() + b"\x00" if use_tls else b"\x01"
     raise MysqlError(-1, f"unsupported auth plugin {plugin!r}")
 
 
@@ -233,6 +263,50 @@ def is_ok(payload: bytes) -> bool:
 
 def is_eof(payload: bytes) -> bool:
     return bool(payload) and payload[0] == 0xFE and len(payload) < 9
+
+
+# --------------------------------------------------- text result sets
+
+
+@dataclass
+class ColumnDefinition:
+    """ColumnDefinition41 (reference: protocol/column_definition.zig)."""
+
+    schema: str
+    table: str
+    name: str
+    org_name: str
+    charset: int
+    column_length: int
+    column_type: int
+    flags: int
+    decimals: int
+
+
+def parse_column_definition(payload: bytes) -> ColumnDefinition:
+    _catalog, pos = read_lenc_str(payload, 0)  # always "def"
+    schema, pos = read_lenc_str(payload, pos)
+    table, pos = read_lenc_str(payload, pos)
+    _org_table, pos = read_lenc_str(payload, pos)
+    name, pos = read_lenc_str(payload, pos)
+    org_name, pos = read_lenc_str(payload, pos)
+    _fixed_len, pos = read_lenc_int(payload, pos)  # always 0x0c
+    charset, column_length = struct.unpack_from("<HI", payload, pos)
+    pos += 6
+    column_type = payload[pos]
+    flags, = struct.unpack_from("<H", payload, pos + 1)
+    decimals = payload[pos + 3]
+    return ColumnDefinition(
+        schema=(schema or b"").decode(),
+        table=(table or b"").decode(),
+        name=(name or b"").decode(),
+        org_name=(org_name or b"").decode(),
+        charset=charset,
+        column_length=column_length,
+        column_type=column_type,
+        flags=flags,
+        decimals=decimals,
+    )
 
 
 # ----------------------------------------------------------- connection
@@ -307,7 +381,7 @@ class MysqlConnection:
             self.io.sock = ctx.wrap_socket(sock, server_hostname=self.host)
 
         plugin = hs.auth_plugin
-        auth = compute_auth_response(plugin, self.password, hs.seed)
+        auth = compute_auth_response(plugin, self.password, hs.seed, self.use_tls)
         self.io.write_packet(
             build_handshake_response(caps, self.user, auth, self.database, plugin)
         )
@@ -327,7 +401,19 @@ class MysqlConnection:
                 name, pos = _nul_str(payload, 1)
                 seed = payload[pos:].rstrip(b"\x00")[:20]
                 plugin = name.decode()
-                self.io.write_packet(compute_auth_response(plugin, self.password, seed))
+                self.io.write_packet(
+                    compute_auth_response(plugin, self.password, seed, self.use_tls)
+                )
+                continue
+            if payload and payload[0] == 0x01 and plugin == "sha256_password":
+                # AuthMoreData carrying the server RSA public key (the
+                # answer to our 0x01 request): OAEP(password ⊕ seed).
+                # Reference: src/mysql/auth.zig public-key request flow.
+                from .rsa_oaep import oaep_encrypt, parse_public_key_pem, xor_with_seed
+
+                n, e = parse_public_key_pem(payload[1:])
+                plain = xor_with_seed(self.password.encode() + b"\x00", seed)
+                self.io.write_packet(oaep_encrypt(plain, n, e))
                 continue
             if payload and payload[0] == 0x01:  # caching_sha2 extra data
                 if payload[1:2] == b"\x03":  # fast auth success → OK follows
@@ -373,22 +459,63 @@ class MysqlConnection:
         return is_ok(self.io.read_packet())
 
     def query(self, sql: str) -> None:
-        """Execute a statement; OK expected (result sets are drained and
-        discarded — only session-setup statements are needed here)."""
+        """Execute a statement; any result set is parsed and discarded
+        (session-setup statements only need the OK/ERR outcome)."""
+        self.query_rows(sql)
+
+    def query_rows(self, sql: str) -> tuple[list[str], list[list[Optional[str]]]]:
+        """COM_QUERY with text-protocol result-set parsing (reference:
+        src/mysql/result.zig:1-28, protocol/column_definition.zig:1-47):
+        column-count lenc int → N column definitions → EOF → text rows
+        (lenc strings, 0xFB = NULL) → EOF. Returns (column names, rows
+        as text values); an OK-only statement returns ([], [])."""
         assert self.io is not None, "not connected"
         self.io.write_packet(bytes([COM_QUERY]) + sql.encode(), reset_seq=True)
         payload = self.io.read_packet()
         if is_ok(payload):
-            return
+            return [], []
         if payload and payload[0] == 0xFF:
             code, msg = parse_err(payload)
             raise MysqlError(code, msg)
-        # result set: drain column definitions + rows until EOF twice
-        eofs = 0
-        while eofs < 2:
+        ncols, _ = read_lenc_int(payload, 0)
+        names: list[str] = []
+        for _ in range(ncols):
+            names.append(parse_column_definition(self.io.read_packet()).name)
+        p = self.io.read_packet()
+        if not is_eof(p):  # CLIENT_DEPRECATE_EOF servers skip this EOF
+            raise MysqlError(-1, f"expected EOF after column definitions, got 0x{p[:1].hex()}")
+        rows: list[list[Optional[str]]] = []
+        while True:
             p = self.io.read_packet()
-            if is_eof(p) or (p and p[0] == 0xFF):
-                eofs += 1
+            if is_eof(p):
+                return names, rows
+            if p and p[0] == 0xFF:
+                code, msg = parse_err(p)
+                raise MysqlError(code, msg)
+            row: list[Optional[str]] = []
+            pos = 0
+            for _ in range(ncols):
+                v, pos = read_lenc_str(p, pos)
+                row.append(None if v is None else v.decode("utf-8", "replace"))
+            rows.append(row)
+
+    def master_status(self) -> Optional[tuple[str, int]]:
+        """Current (binlog file, position) at the server — lets the
+        tailer auto-discover its start point instead of requiring a
+        hand-supplied from_binlog_file/position. Tries the pre-8.0.22
+        statement first, then the renamed one; returns None when binary
+        logging is off (empty result set)."""
+        for stmt in ("SHOW MASTER STATUS", "SHOW BINARY LOG STATUS"):
+            try:
+                names, rows = self.query_rows(stmt)
+            except MysqlError:
+                continue
+            if not names:
+                continue
+            if not rows:
+                return None
+            return rows[0][0], int(rows[0][1])
+        return None
 
     def binlog_dump(
         self, binlog_file: str, binlog_position: int, server_id: int = 1, non_block: bool = False

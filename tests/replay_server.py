@@ -183,13 +183,16 @@ class ReplayServer:
             + b"\x00"
         )
 
-    def _check_auth(self, payload: bytes) -> bool:
+    def _parse_auth(self, payload: bytes) -> tuple[str, bytes]:
         pos = 32  # caps(4) + max_packet(4) + charset(1) + 23 reserved
         end = payload.index(0, pos)
         username = payload[pos:end].decode()
         pos = end + 1
         alen = payload[pos]
-        auth = payload[pos + 1 : pos + 1 + alen]
+        return username, payload[pos + 1 : pos + 1 + alen]
+
+    def _check_auth(self, payload: bytes) -> bool:
+        username, auth = self._parse_auth(payload)
         if getattr(self, "auth_plugin", "mysql_native_password") == "caching_sha2_password":
             want = scramble_caching_sha2(self.password, SEED)
         else:
@@ -223,10 +226,43 @@ class ReplayServer:
             ctx.load_cert_chain(self.tls_cert, self.tls_key)
             io.sock = ctx.wrap_socket(conn, server_side=True)
             resp = io.read_packet()
+        plugin = getattr(self, "auth_plugin", "mysql_native_password")
+        if plugin == "sha256_password":
+            # reference flow (src/mysql/auth.zig:14,28-29): the client's
+            # initial response is 0x01 = "send me your public key" on a
+            # cleartext channel (or the cleartext password over TLS)
+            username, auth = self._parse_auth(resp)
+            if username != self.user:
+                io.write_packet(_err(1045, "Access denied"))
+                return
+            if auth == b"\x01":
+                from myzql_binlog_connector_ray.sources.rsa_oaep import (
+                    encode_public_key_pem,
+                    oaep_decrypt,
+                    xor_with_seed,
+                )
+
+                n, e, d = _rsa_key()
+                io.write_packet(b"\x01" + encode_public_key_pem(n, e))
+                ct = io.read_packet()
+                try:
+                    plain = xor_with_seed(oaep_decrypt(ct, n, d), SEED)
+                except ValueError:
+                    io.write_packet(_err(1045, "Access denied (bad OAEP)"))
+                    return
+                if plain != self.password.encode() + b"\x00":
+                    io.write_packet(_err(1045, "Access denied (sha256 full auth)"))
+                    return
+            elif auth.rstrip(b"\x00").decode() != self.password:  # TLS cleartext
+                io.write_packet(_err(1045, "Access denied (sha256 cleartext)"))
+                return
+            io.write_packet(OK)
+            self._command_loop(io)
+            return
         if not self._check_auth(resp):
             io.write_packet(_err(1045, "Access denied"))
             return
-        if getattr(self, "auth_plugin", "mysql_native_password") == "caching_sha2_password":
+        if plugin == "caching_sha2_password":
             # pretend no cached entry: request full authentication
             io.write_packet(b"\x01\x04")
             full = io.read_packet()
@@ -255,6 +291,9 @@ class ReplayServer:
                 io.write_packet(_err(1045, "Access denied (full auth)"))
                 return
         io.write_packet(OK)
+        self._command_loop(io)
+
+    def _command_loop(self, io: PacketIO) -> None:
         while True:
             try:
                 cmd = io.read_packet()
@@ -262,7 +301,13 @@ class ReplayServer:
                 return
             if not cmd:
                 return
-            if cmd[0] in (COM_QUERY, COM_PING):
+            if cmd[0] == COM_QUERY:
+                sql = cmd[1:].decode("utf-8", "replace").strip().upper()
+                if sql in ("SHOW MASTER STATUS", "SHOW BINARY LOG STATUS"):
+                    self._send_master_status(io)
+                else:
+                    io.write_packet(OK)
+            elif cmd[0] == COM_PING:
                 io.write_packet(OK)
             elif cmd[0] == COM_BINLOG_DUMP:
                 _pos, _flags, _sid = struct.unpack_from("<IHI", cmd, 1)
@@ -271,6 +316,32 @@ class ReplayServer:
                 return
             else:
                 io.write_packet(_err(1047, f"unknown command {cmd[0]}"))
+
+    @staticmethod
+    def _lenc(data: bytes) -> bytes:
+        assert len(data) < 251
+        return bytes([len(data)]) + data
+
+    def _coldef(self, name: str) -> bytes:
+        """Minimal ColumnDefinition41 (type VAR_STRING)."""
+        L = self._lenc
+        return (
+            L(b"def") + L(b"") + L(b"") + L(b"")  # catalog/schema/table/org_table
+            + L(name.encode()) + L(name.encode())  # name/org_name
+            + b"\x0c" + struct.pack("<HIBHB", 33, 255, 0xFD, 0, 0) + b"\x00\x00"
+        )
+
+    def _send_master_status(self, io: PacketIO) -> None:
+        """Text result set: the first on-disk segment at position 4 (a
+        replay server's 'head' is the start of its recorded stream)."""
+        files = sorted(f for f in os.listdir(self.segment_dir) if f.startswith("binlog."))
+        io.write_packet(b"\x02")  # column count
+        io.write_packet(self._coldef("File"))
+        io.write_packet(self._coldef("Position"))
+        io.write_packet(EOF)
+        if files:
+            io.write_packet(self._lenc(files[0].encode()) + self._lenc(b"4"))
+        io.write_packet(EOF)
 
     def _stream_binlogs(self, io: PacketIO, start_file: str) -> None:
         files = sorted(

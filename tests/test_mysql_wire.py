@@ -353,3 +353,44 @@ def test_tail_to_ingest_streaming_handoff(replay, fixture_paths, tmp_path, ray_s
     got = read_lake(lake_dir).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
     want = read_lake(ref_lake).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_query_rows_master_status(replay, fixture_paths):
+    """Text-protocol result-set parsing (column defs + lenc rows) via
+    SHOW MASTER STATUS against the replay server."""
+    conn = MysqlConnection(port=replay.port, user="repl", password="secret").connect()
+    try:
+        names, rows = conn.query_rows("SHOW MASTER STATUS")
+        assert names == ["File", "Position"]
+        assert rows == [["binlog.000001", "4"]]
+        status = conn.master_status()
+        assert status == ("binlog.000001", 4)
+        # OK-only statements still return empty
+        assert conn.query_rows("SET @x=1") == ([], [])
+    finally:
+        conn.close()
+
+
+def test_tail_auto_positioning(replay, fixture_paths, tmp_path):
+    """start_file=None → the tailer discovers (file, position) itself
+    via SHOW MASTER STATUS and tails the full stream."""
+    out_dir = str(tmp_path / "tailed_auto")
+    manifests = tail_binlog_to_segments(
+        out_dir, port=replay.port, user="repl", password="secret", start_file=None
+    )
+    originals = {os.path.basename(p) for p in fixture_paths["segment_paths"]}
+    assert originals <= {m.segment for m in manifests}
+
+
+def test_sha256_password_rsa_full_auth_without_tls(fixture_paths, tmp_path):
+    """sha256_password plugin over a cleartext channel: 0x01 public-key
+    request → AuthMoreData PEM → OAEP(password ⊕ seed)."""
+    seg_dir = os.path.dirname(fixture_paths["segment_paths"][0])
+    with ReplayServer(seg_dir, auth_plugin="sha256_password") as srv:
+        conn = MysqlConnection(port=srv.port, user="repl", password="secret").connect()
+        assert conn.ping()
+        conn.close()
+        with pytest.raises(MysqlError) as ei:
+            MysqlConnection(port=srv.port, user="repl", password="wrong").connect()
+        assert ei.value.code == 1045
+    assert srv.errors == []

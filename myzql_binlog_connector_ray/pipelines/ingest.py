@@ -362,8 +362,16 @@ def run_ingest(
     min_ordinal: Optional[int] = None,
     max_ordinal: Optional[int] = None,
     exchange: str = "staged",
+    sink: str = "rewrite",
 ) -> list[dict]:
     """Transactional ingest: decode → upsert *into* lake_dir, exactly-once.
+
+    ``sink="delta"`` appends each batch's reduced change rows as
+    per-partition delta files instead of folding + rewriting the base
+    (bounded write amplification for small frequent batches); read the
+    result via ``read_lake_state`` or fold it back to single-file
+    partitions with ``compact_lake``. The LWW fold is associative, so
+    both sinks produce the identical final state (test-pinned).
 
     Returns per-partition commit summaries. Re-running with the same
     (or a prefix of the same) stream is a no-op per partition thanks to
@@ -416,6 +424,7 @@ def run_ingest(
                 write=True,
                 final_columns=FINAL_COLUMNS,
                 final_types=REPOS_TYPED_TYPES,
+                sink_mode=sink,
             ),
             batch_format="pyarrow",
         )
@@ -531,5 +540,77 @@ def run_ingest_multi(
 
 
 def read_lake(lake_dir: str) -> ray.data.Dataset:
-    """The committed lake state as a Dataset (partition dirs → blocks)."""
+    """The committed lake state as a Dataset (partition dirs → blocks).
+    Valid for rewrite-mode / compacted lakes; a lake with live delta
+    files must go through ``read_lake_state`` (fold-on-read)."""
     return ray.data.read_parquet(lake_dir)
+
+
+def _lake_parts(lake_dir: str) -> list[int]:
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(lake_dir)
+        if d.startswith("part=") and os.path.isdir(os.path.join(lake_dir, d))
+    )
+
+
+def read_lake_state(
+    lake_dir: str,
+    *,
+    key_cols: Optional[list[str]] = None,
+    final_columns: Optional[list[str]] = None,
+    final_types: Optional[dict] = None,
+) -> ray.data.Dataset:
+    """Delta-aware lake read: one task per partition folds base + live
+    delta files into the FINAL state (correct whether or not the lake
+    has been compacted)."""
+    from functools import partial as _partial
+
+    from ..stages.apply_arrow import read_state_parts
+
+    parts = _lake_parts(lake_dir)
+    return ray.data.from_items(
+        [{"part": p} for p in parts], override_num_blocks=max(1, len(parts))
+    ).map_batches(
+        _partial(
+            read_state_parts,
+            lake_dir=lake_dir,
+            key_cols=key_cols,
+            final_columns=final_columns or FINAL_COLUMNS,
+            final_types=final_types or REPOS_TYPED_TYPES,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def compact_lake(
+    lake_dir: str,
+    *,
+    key_cols: Optional[list[str]] = None,
+    final_columns: Optional[list[str]] = None,
+    final_types: Optional[dict] = None,
+) -> list[dict]:
+    """Distributed compaction job: fold every partition's delta files
+    back into single-file bases (one task per partition, atomic per
+    partition, idempotent — partitions without live deltas are
+    skipped). Run it on whatever cadence bounds read amplification."""
+    from functools import partial as _partial
+
+    from ..stages.apply_arrow import compact_parts
+
+    parts = _lake_parts(lake_dir)
+    if not parts:
+        return []
+    summaries = ray.data.from_items(
+        [{"part": p} for p in parts], override_num_blocks=max(1, len(parts))
+    ).map_batches(
+        _partial(
+            compact_parts,
+            lake_dir=lake_dir,
+            key_cols=key_cols,
+            final_columns=final_columns or FINAL_COLUMNS,
+            final_types=final_types or REPOS_TYPED_TYPES,
+        ),
+        batch_format="pyarrow",
+    )
+    return summaries.take_all()  # small: one row per partition

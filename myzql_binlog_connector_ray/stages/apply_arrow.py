@@ -22,7 +22,7 @@ from typing import Optional
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..state.manifest import commit_partition, read_manifest
+from ..state.manifest import commit_delta, commit_partition, read_manifest
 from .apply import KEY_COLS, ORDER_COLS, sha256_hex
 
 _ORDER_KEYS = [("ordinal", "ascending"), ("event_row_index", "ascending")]
@@ -103,6 +103,23 @@ def _finalize_arrow(
     return out
 
 
+def _state_sha(final: pa.Table) -> str:
+    """Deterministic per-partition state digest for the manifest: the
+    content sha chain when the table carries one, else a vectorized
+    fixed-key value hash over every column."""
+    if "content_sha256" in final.column_names:
+        sha_col = pc.fill_null(final["content_sha256"], "").to_pylist()
+        return hashlib.sha256("\n".join(sha_col).encode()).hexdigest()
+    import numpy as np
+    import pandas as pd
+
+    h = np.zeros(final.num_rows, dtype=np.uint64)
+    for c in final.column_names:
+        col = final[c].to_numpy(zero_copy_only=False)
+        h = h * np.uint64(1000003) + pd.util.hash_array(col, categorize=False)
+    return hashlib.sha256(h.tobytes()).hexdigest()
+
+
 class ApplyPartitionArrow:
     """pyarrow map_groups body — see stages.apply.ApplyPartition for the
     manifest/exactly-once contract (identical here)."""
@@ -114,26 +131,48 @@ class ApplyPartitionArrow:
         final_columns: Optional[list[str]] = None,
         final_types: Optional[dict] = None,
         key_cols: Optional[list[str]] = None,
+        sink_mode: str = "rewrite",
     ):
+        assert sink_mode in ("rewrite", "delta")
         self.lake_dir = lake_dir
         self.write = write
         self.final_columns = final_columns
         self.final_types = final_types
         self.key_cols = key_cols or KEY_COLS
+        # "rewrite": fold changes into the base and rewrite the
+        # partition file (read-optimal). "delta": append the reduced
+        # change rows as a delta file and defer the fold to compaction /
+        # fold-on-read — bounded write amplification for small frequent
+        # batches (the LWW fold is associative, so base ∘ (d1+d2) ==
+        # (base ∘ d1) ∘ d2; property-pinned in tests).
+        self.sink_mode = sink_mode
 
     def _read_base(self, part: int) -> Optional[pa.Table]:
+        """Folded on-disk state: base file(s) + any live delta files
+        (delta-aware, so rewrite mode and reads compose with a
+        delta-mode history)."""
         if self.lake_dir is None:
             return None
         import glob
 
         import pyarrow.parquet as pq
 
-        from ..state.manifest import partition_dir
+        from ..state.manifest import list_delta_files, partition_dir, read_manifest
 
         files = sorted(glob.glob(partition_dir(self.lake_dir, part) + "/*.parquet"))
-        if not files:
-            return None
-        return pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+        base_files = [f for f in files if not f.rsplit("/", 1)[-1].startswith("delta-")]
+        base = (
+            pa.concat_tables([pq.read_table(f) for f in base_files], promote_options="permissive")
+            if base_files
+            else None
+        )
+        manifest = read_manifest(self.lake_dir, part)
+        compacted_through = int((manifest or {}).get("compacted_through", -1))
+        deltas = list_delta_files(self.lake_dir, part, compacted_through)
+        if not deltas:
+            return base
+        dt = pa.concat_tables([pq.read_table(f) for f in deltas], promote_options="permissive")
+        return lww_fold_arrow(base, dt, self.key_cols)
 
     def _summary(self, part: int, rows: int, watermark: int, skipped: bool) -> pa.Table:
         return pa.table(
@@ -158,6 +197,19 @@ class ApplyPartitionArrow:
                 if group.num_rows == 0:
                     return self._summary(part, manifest["rows"], manifest["watermark"], True)
 
+        if self.write and self.sink_mode == "delta":
+            # append-only sink: LWW-reduce this batch per key (still
+            # carrying ordinal/event_row_index/dml) and commit it as one
+            # delta file — no base read, no rewrite
+            reduced = _last_per_key(
+                group.take(pc.sort_indices(group, sort_keys=_ORDER_KEYS)).combine_chunks(),
+                self.key_cols,
+            )
+            if "part" in reduced.column_names:
+                reduced = reduced.drop_columns(["part"])
+            manifest = commit_delta(self.lake_dir, part, reduced, watermark)
+            return self._summary(part, manifest["rows"], manifest["watermark"], False)
+
         base = self._read_base(part)
         final = _finalize_arrow(
             lww_fold_arrow(base, group, self.key_cols), self.final_columns, self.final_types
@@ -169,22 +221,134 @@ class ApplyPartitionArrow:
         final = final.take(
             pc.sort_indices(final, sort_keys=[(k, "ascending") for k in self.key_cols])
         )
-        if "content_sha256" in final.column_names:
-            sha_col = pc.fill_null(final["content_sha256"], "").to_pylist()
-            state_sha = hashlib.sha256("\n".join(sha_col).encode()).hexdigest()
-        else:
-            # content-free table: deterministic vectorized state digest
-            # over every column's value hash (fixed-key siphash)
-            import numpy as np
-            import pandas as pd
-
-            h = np.zeros(final.num_rows, dtype=np.uint64)
-            for c in final.column_names:
-                col = final[c].to_numpy(zero_copy_only=False)
-                h = h * np.uint64(1000003) + pd.util.hash_array(col, categorize=False)
-            state_sha = hashlib.sha256(h.tobytes()).hexdigest()
-        manifest = commit_partition(self.lake_dir, part, final, watermark, state_sha)
+        manifest = commit_partition(self.lake_dir, part, final, watermark, _state_sha(final))
         return self._summary(part, manifest["rows"], manifest["watermark"], False)
+
+
+def compact_partition(
+    lake_dir: str,
+    part: int,
+    *,
+    key_cols: Optional[list[str]] = None,
+    final_columns: Optional[list[str]] = None,
+    final_types: Optional[dict] = None,
+) -> dict:
+    """Fold a partition's live delta files into its base and rewrite it
+    as one ``data.parquet`` (the read-optimal form), then remove the
+    folded + any stale delta files.
+
+    Crash-safe ordering: ``commit_partition`` lands the new base AND
+    ``compacted_through=watermark`` atomically BEFORE any delta file is
+    unlinked — a crash in between only leaves stale delta files, which
+    every reader (``list_delta_files``) and the next compaction ignore.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import (
+        commit_partition as _commit,
+        delta_watermark_of,
+        list_delta_files,
+        partition_dir,
+        read_manifest,
+    )
+
+    keys = key_cols or KEY_COLS
+    manifest = read_manifest(lake_dir, part) or {}
+    compacted_through = int(manifest.get("compacted_through", -1))
+    all_deltas = sorted(glob.glob(os.path.join(partition_dir(lake_dir, part), "delta-*.parquet")))
+    live = list_delta_files(lake_dir, part, compacted_through)
+    stale = [f for f in all_deltas if f not in set(live)]
+    if not live:
+        for f in stale:  # lazy cleanup of a crashed earlier compaction
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
+        return {
+            "part": part,
+            "rows": int(manifest.get("rows", -1)),
+            "watermark": int(manifest.get("watermark", -1)),
+            "skipped": True,
+        }
+
+    base_files = [
+        f
+        for f in sorted(glob.glob(os.path.join(partition_dir(lake_dir, part), "*.parquet")))
+        if not os.path.basename(f).startswith("delta-")
+    ]
+    base = (
+        pa.concat_tables([pq.read_table(f) for f in base_files], promote_options="permissive")
+        if base_files
+        else None
+    )
+    changes = pa.concat_tables([pq.read_table(f) for f in live], promote_options="permissive")
+    final = _finalize_arrow(lww_fold_arrow(base, changes, keys), final_columns, final_types)
+    final = final.take(pc.sort_indices(final, sort_keys=[(k, "ascending") for k in keys]))
+    watermark = max(
+        int(manifest.get("watermark", -1)), max(delta_watermark_of(f) for f in live)
+    )
+    out = _commit(lake_dir, part, final, watermark, _state_sha(final))
+    for f in live + stale:
+        try:
+            os.unlink(f)
+        except OSError:
+            pass
+    return {"part": part, "rows": out["rows"], "watermark": out["watermark"], "skipped": False}
+
+
+def compact_parts(
+    batch: pa.Table,
+    lake_dir: str = "",
+    key_cols: Optional[list[str]] = None,
+    final_columns: Optional[list[str]] = None,
+    final_types: Optional[dict] = None,
+) -> pa.Table:
+    """map_batches body for the distributed compaction job: one
+    ``compact_partition`` per input row {"part"}."""
+    rows = [
+        compact_partition(
+            lake_dir, int(p), key_cols=key_cols, final_columns=final_columns, final_types=final_types
+        )
+        for p in batch["part"].to_pylist()
+    ]
+    return pa.table(
+        {
+            "part": pa.array([r["part"] for r in rows], pa.int32()),
+            "rows": pa.array([r["rows"] for r in rows], pa.int64()),
+            "watermark": pa.array([r["watermark"] for r in rows], pa.int64()),
+            "skipped": pa.array([r["skipped"] for r in rows], pa.bool_()),
+        }
+    )
+
+
+def read_state_parts(
+    batch: pa.Table,
+    lake_dir: str = "",
+    key_cols: Optional[list[str]] = None,
+    final_columns: Optional[list[str]] = None,
+    final_types: Optional[dict] = None,
+) -> pa.Table:
+    """Fold-on-read map_batches body: each input row {"part"} yields
+    that partition's FINAL state (base + live deltas folded) — the
+    correct way to read a delta-mode lake without compacting it."""
+    inner = ApplyPartitionArrow(
+        lake_dir=lake_dir, key_cols=key_cols, final_columns=final_columns, final_types=final_types
+    )
+    outs = []
+    for p in batch["part"].to_pylist():
+        t = inner._read_base(int(p))
+        if t is None or not t.num_rows:
+            continue
+        outs.append(_finalize_arrow(t, final_columns, final_types))
+    if not outs:
+        types = final_types or {}
+        return pa.table(
+            {c: pa.array([], types.get(c, pa.string())) for c in (final_columns or ["part"])}
+        )
+    return pa.concat_tables(outs, promote_options="permissive")
 
 
 class ApplyStagedPartition:
@@ -204,6 +368,7 @@ class ApplyStagedPartition:
         final_columns: Optional[list[str]] = None,
         final_types: Optional[dict] = None,
         key_cols: Optional[list[str]] = None,
+        sink_mode: str = "rewrite",
     ):
         self.staging_dir = staging_dir
         self.inner = ApplyPartitionArrow(
@@ -212,6 +377,7 @@ class ApplyStagedPartition:
             final_columns=final_columns,
             final_types=final_types,
             key_cols=key_cols,
+            sink_mode=sink_mode,
         )
 
     def _read_staged(self, part: int) -> Optional[pa.Table]:
@@ -306,6 +472,7 @@ def apply_staged_parts(
     write: bool = False,
     final_columns: Optional[list[str]] = None,
     final_types: Optional[dict] = None,
+    sink_mode: str = "rewrite",
 ) -> pa.Table:
     """Function form for stateless-task scheduling (construction is a
     couple of attribute assignments; tasks interleave with decode)."""
@@ -315,4 +482,5 @@ def apply_staged_parts(
         write=write,
         final_columns=final_columns,
         final_types=final_types,
+        sink_mode=sink_mode,
     )(batch)

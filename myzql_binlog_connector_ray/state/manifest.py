@@ -55,6 +55,66 @@ def read_all_manifests(lake_dir: str) -> list[dict]:
     return out
 
 
+def delta_path(lake_dir: str, part: int, watermark: int) -> str:
+    return os.path.join(
+        partition_dir(lake_dir, part), f"delta-{watermark:020d}-{uuid.uuid4().hex[:8]}.parquet"
+    )
+
+
+def delta_watermark_of(path: str) -> int:
+    """Watermark embedded in a delta file name."""
+    base = os.path.basename(path)
+    return int(base.split("-")[1])
+
+
+def list_delta_files(lake_dir: str, part: int, compacted_through: int = -1) -> list[str]:
+    """This partition's live delta files in commit order. Files at or
+    below ``compacted_through`` are already folded into the base — a
+    compaction that crashed between the base rewrite and the cleanup
+    leaves them behind, and re-applying them over the newer base would
+    resurrect stale values, so they are ignored (and removed by the
+    next compaction)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(partition_dir(lake_dir, part), "delta-*.parquet")))
+    return [f for f in files if delta_watermark_of(f) > compacted_through]
+
+
+def commit_delta(lake_dir: str, part: int, table, watermark: int) -> dict:
+    """Append one delta file (LWW-reduced change rows, still carrying
+    ordinal/event_row_index/dml) instead of folding + rewriting the
+    partition base — the low-write-amplification sink for small
+    frequent batches at scale. Exactly-once rides on the same manifest
+    watermark; ``rows`` is unknown (-1) until the next compaction or
+    fold-on-read."""
+    import pyarrow.parquet as pq
+
+    pdir = partition_dir(lake_dir, part)
+    os.makedirs(pdir, exist_ok=True)
+    os.makedirs(os.path.join(lake_dir, "_manifests"), exist_ok=True)
+
+    dest = delta_path(lake_dir, part, watermark)
+    tmp = dest + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, dest)
+
+    prev = read_manifest(lake_dir, part) or {}
+    manifest = {
+        "partition": part,
+        "watermark": int(watermark),
+        "rows": -1,
+        "state_sha256": "",
+        "deltas": int(prev.get("deltas", 0)) + 1,
+        "compacted_through": int(prev.get("compacted_through", -1)),
+    }
+    mpath = manifest_path(lake_dir, part)
+    mtmp = mpath + f".tmp-{uuid.uuid4().hex}"
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, mpath)
+    return manifest
+
+
 def commit_partition(
     lake_dir: str,
     part: int,
@@ -78,6 +138,10 @@ def commit_partition(
         "watermark": int(watermark),
         "rows": table.num_rows,
         "state_sha256": state_sha256,
+        "deltas": 0,
+        # everything ≤ watermark is folded into the base, so any delta
+        # file at or below it is stale (see list_delta_files)
+        "compacted_through": int(watermark),
     }
     mpath = manifest_path(lake_dir, part)
     mtmp = mpath + f".tmp-{uuid.uuid4().hex}"

@@ -34,6 +34,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-table typed ingest: one decode pass, per-table lakes
         "lake_upsert_lww_multi": api.lake_upsert_lww_multi,
         "lake_counters_multi": api.lake_counters_multi,
+        # delta-sink ingest (three waves, no base rewrite) + fold-on-read
+        "lake_upsert_lww_delta": api.lake_upsert_lww_delta,
         # training-data operators
         "dedup_exact": api.dedup_exact,
         "token_count_by_lang": api.token_count_by_lang,
@@ -525,6 +527,9 @@ def oracle_sql() -> dict[str, str]:
         # and the counters namespace must equal its closed-form insert
         # set — wrong routing/lost tables/watermark bleed all fail
         "lake_upsert_lww_multi": _LAKE_FINAL_SQL,
+        # delta sink: three appended waves folded on read must equal the
+        # rewrite sink's final state exactly (associative LWW fold)
+        "lake_upsert_lww_delta": _LAKE_FINAL_SQL,
         "lake_counters_multi": """
             SELECT CAST(doc_id AS BIGINT) AS id,
                    CAST(length(text) AS BIGINT) AS val

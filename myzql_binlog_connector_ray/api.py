@@ -130,6 +130,38 @@ def lake_counters_multi(sf_dir: str, *, num_partitions: int = 16, concurrency=No
     )
 
 
+def lake_upsert_lww_delta(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
+    """Delta-sink ingest + fold-on-read (round-4 write-amplification
+    refinement): the stream replays as THREE sequential waves, each
+    appended as per-partition delta files (no base rewrite), and the
+    final state is read with the delta-aware fold — value-checked
+    against the same closed-form LWW oracle as the rewrite-sink
+    flagship, so the associative-fold machinery (delta commit,
+    compacted_through bookkeeping, fold-on-read) is in the driver's
+    correctness gate."""
+    import shutil
+
+    from .pipelines.ingest import read_lake_state, run_ingest
+
+    fx = _fixtures(sf_dir)
+    lake_dir = os.path.join(fx["root"], f"delta_lake_p{num_partitions}")
+    done = os.path.join(lake_dir, "_DELTA_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        init_lake(pq.read_table(fx["base_lake"]), lake_dir, num_partitions)
+        segs = fx["segment_paths"]
+        waves = [segs[:1], segs[1:2], segs[2:]]
+        for w in waves:
+            if w:
+                run_ingest(w, lake_dir, num_partitions=num_partitions, concurrency=concurrency, sink="delta")
+        with open(done, "w") as f:
+            f.write("ok")
+    return read_lake_state(lake_dir).map_batches(
+        lambda t: t.select(FINAL_COLUMNS).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
+
+
 def changes_count_by_dml(sf_dir: str, *, concurrency=None):
     fx = _fixtures(sf_dir)
     ds = decode_envelope(read_segments(fx["segment_paths"]), concurrency=concurrency)

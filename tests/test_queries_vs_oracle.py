@@ -101,6 +101,8 @@ SQL_CHECKED = [
     # round 4: multi-table typed ingest (one decode pass, two lakes)
     "lake_upsert_lww_multi",
     "lake_counters_multi",
+    # round 4: delta-sink three-wave ingest + fold-on-read
+    "lake_upsert_lww_delta",
     "ingest_exactly_once",  # double-replay lake == single-replay lake SQL
     "dedup_clusters",  # connected components vs recursive-CTE fixpoint
     "lake_repo_stats_incremental",  # IVM view == closed-form final-lake stats

@@ -2346,31 +2346,30 @@ def _pii_corpus(sf_dir: str):
 
 
 class PiiRedactor:
-    """Actor-pool PII scrubber: regexes compiled ONCE per actor in
-    __init__ (the reference's stateful-worker pattern, ST4), applied
-    per batch in __call__. Output: per-doc match counts per category
-    and the redaction byte delta."""
+    """Actor-pool PII scrubber — fully vectorized (round-4: the per-row
+    Python ``findall``/``sub`` loops became Arrow RE2 kernels, valid
+    precisely because PII_PATTERNS is restricted to the re/RE2-agreeing
+    subset): per category one ``count_substring_regex`` over the
+    original text and one ``replace_substring_regex`` folded over the
+    running redaction, then a codepoint-length diff. Output: per-doc
+    match counts per category and the redaction char delta. Equality
+    with the Python-re reference implementation is test-pinned."""
 
     def __init__(self):
-        import re
-
-        self.pats = [(name, re.compile(pat), repl) for name, pat, repl in PII_PATTERNS]
+        self.pats = list(PII_PATTERNS)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
+        import pyarrow.compute as pc
+
+        col = t["text"]
         out = {"doc_id": t["doc_id"]}
-        redacted = texts
+        redacted = col
         for name, pat, repl in self.pats:
-            findall = pat.findall
-            out[f"n_{name}"] = pa.array(
-                np.fromiter((len(findall(s)) for s in texts), dtype=np.int64, count=len(texts)),
-                pa.int64(),
-            )
-            sub = pat.sub
-            redacted = [sub(repl, s) for s in redacted]
-        orig_len = np.fromiter(map(len, texts), dtype=np.int64, count=len(texts))
-        red_len = np.fromiter(map(len, redacted), dtype=np.int64, count=len(redacted))
-        out["chars_removed"] = pa.array(orig_len - red_len, pa.int64())
+            out[f"n_{name}"] = pc.cast(pc.count_substring_regex(col, pat), pa.int64())
+            redacted = pc.replace_substring_regex(redacted, pat, repl)
+        out["chars_removed"] = pc.cast(
+            pc.subtract(pc.utf8_length(col), pc.utf8_length(redacted)), pa.int64()
+        )
         return pa.table(out)
 
 
@@ -3327,29 +3326,40 @@ def _url_corpus(sf_dir: str):
 
 
 class UrlExtractor:
-    """Actor-pool URL/domain extractor: the pattern compiles ONCE per
-    actor in __init__ (stateful-stage pattern, ST4); __call__ emits
-    per-block (domain, n_urls_p, n_docs_p) partials — a block ships
-    one row per distinct domain, so the exchange is bounded by the
-    domain vocabulary, never the corpus. n_docs sums correctly across
-    blocks because a document lives in exactly one block."""
-
-    def __init__(self):
-        import re
-
-        self.pat = re.compile(URL_PATTERN)
+    """URL/domain extractor stage: emits per-block
+    (domain, n_urls_p, n_docs_p) partials — a block ships one row per
+    distinct domain, so the exchange is bounded by the domain
+    vocabulary, never the corpus. n_docs sums correctly across blocks
+    because a document lives in exactly one block. Extraction is fully
+    vectorized Arrow RE2 (split-on-scheme + anchored domain extract);
+    the stage is stateless, so it runs as plain tasks."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        findall = self.pat.findall
-        doc_ids, domains = [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            for groups in findall(text):
-                doc_ids.append(did)
-                domains.append(groups[0])
+        import pyarrow.compute as pc
+
+        # vectorized findall (round-4: Arrow RE2 has no multi-match
+        # extract, so split on the scheme token and anchor-extract the
+        # domain from every following fragment — equivalent to the
+        # URL_PATTERN findall whenever a scheme token is followed by a
+        # domain char, which the spec's domain class guarantees for
+        # every real match; parity with Python re is test-pinned):
+        parts = pc.split_pattern_regex(t["text"], r"https?://")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        first = np.ones(len(parent), dtype=bool)  # first fragment per doc = pre-URL text
+        first[1:] = parent[1:] != parent[:-1]
+        frag = flat.filter(pa.array(~first))
+        par = parent[~first]
+        ext = pc.extract_regex(frag, r"^(?P<domain>[A-Za-z0-9.-]+)")
+        valid = ext.is_valid()
+        dom = pc.struct_field(ext, "domain").filter(valid)
+        par = par[valid.to_numpy(zero_copy_only=False)]
         pairs = pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "domain": pa.array(domains, pa.string()),
+                "doc_id": t["doc_id"].take(pa.array(par)),
+                "domain": dom,
             }
         )
         urls = pairs.group_by(["domain"]).aggregate([([], "count_all")])

@@ -165,3 +165,58 @@ def test_dns_truncated_response_rejected():
     resp = hdr + question + b"\xc0\x0c" + struct.pack(">HHIH", 1, 1, 60, 4) + bytes([10, 0, 0, 1])
     with pytest.raises(DnsError, match="TC"):
         parse_a_response(resp, 0x1234)
+
+
+def test_pii_redactor_vectorized_matches_python_re():
+    """The Arrow RE2 kernels must agree with the Python-re reference on
+    counts and redaction deltas (the patterns are spec-restricted to the
+    re/RE2-agreeing subset)."""
+    import re
+
+    from myzql_binlog_connector_ray.api import PII_PATTERNS, PiiRedactor
+
+    texts = [
+        "mail a.b+c@ex-ample.co.uk and x@y.io ip 10.2.3.4 tel +1 555-0001",
+        "no pii here at all",
+        "edges: 999.999.999.999 1.2.3.4.5 ip-ish a@b.c @not.an.email +1 12-3456",
+        "",
+        "dup dup a@b.cc a@b.cc 8.8.8.8 8.8.8.8 +1 111-2222 +1 111-2222",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    got = PiiRedactor()(t).to_pandas()
+
+    pats = [(n, re.compile(p), r) for n, p, r in PII_PATTERNS]
+    red = list(texts)
+    for i, s in enumerate(texts):
+        for name, pat, repl in pats:
+            assert got.loc[i, f"n_{name}"] == len(pat.findall(s)), (i, name)
+        r = s
+        for _, pat, repl in pats:
+            r = pat.sub(repl, r)
+        assert got.loc[i, "chars_removed"] == len(s) - len(r), i
+
+
+def test_url_extractor_vectorized_matches_findall():
+    import re
+
+    from myzql_binlog_connector_ray.api import URL_PATTERN, UrlExtractor
+
+    texts = [
+        "see https://a.example.com/x and http://b.org plus https://a.example.com",
+        "no urls",
+        "scheme only: https:// nothing, then http://c-d.net/p?q=1 end",
+        "tight(https://x.io/y)paren http://x.io",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    got = UrlExtractor()(t).to_pandas().set_index("domain").sort_index()
+
+    pat = re.compile(URL_PATTERN)
+    urls: dict[str, int] = {}
+    docs: dict[str, set] = {}
+    for i, s in enumerate(texts):
+        for groups in pat.findall(s):
+            d = groups[0]
+            urls[d] = urls.get(d, 0) + 1
+            docs.setdefault(d, set()).add(i)
+    assert dict(got["n_urls_p"]) == urls
+    assert dict(got["n_docs_p"]) == {d: len(v) for d, v in docs.items()}

@@ -197,6 +197,36 @@ def run_bench() -> dict:
         timed("customer_event_counts", api.customer_event_counts)
         timed("events_user_trailing_window", api.events_user_trailing_window)
         timed("token_counts_cms", api.token_counts_cms)
+        timed("asof_last_event_per_order", api.asof_last_event_per_order)
+
+        # round-4 pipelines over the bench-scale fixture stream:
+        from myzql_binlog_connector_ray.pipelines.ingest import compact_lake, run_ingest_multi
+
+        # multi-table ingest: ONE decode pass applying app.repos (over
+        # the same base lake as the flagship) AND metrics.counters
+        multi_root = os.path.join(fx["root"], f"bench_multilake_{NUM_CPUS}")
+        shutil.rmtree(multi_root, ignore_errors=True)
+        os.makedirs(multi_root)
+        shutil.copytree(lake_src, os.path.join(multi_root, "app.repos"))
+        t0 = time.perf_counter()
+        run_ingest_multi(
+            fx["segment_paths"], multi_root, num_partitions=NUM_PARTITIONS, concurrency=concurrency
+        )
+        queries["ingest_multi"] = round(time.perf_counter() - t0, 4)
+
+        # delta-sink ingest + compaction (write-amplification path)
+        delta_lake = os.path.join(fx["root"], f"bench_deltalake_{NUM_CPUS}")
+        shutil.rmtree(delta_lake, ignore_errors=True)
+        shutil.copytree(lake_src, delta_lake)
+        t0 = time.perf_counter()
+        run_ingest(
+            fx["segment_paths"], delta_lake, num_partitions=NUM_PARTITIONS,
+            concurrency=concurrency, exchange=exchange, sink="delta",
+        )
+        queries["ingest_delta"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        compact_lake(delta_lake)
+        queries["compaction"] = round(time.perf_counter() - t0, 4)
 
     queries["ingest"] = round(ingest_sec, 4)
     if envelope_sec is not None:

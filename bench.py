@@ -293,8 +293,129 @@ def run_scaling() -> dict:
     }
 
 
+def run_streaming() -> dict:
+    """End-to-end STREAMING measurement: a live replication tail (real
+    localhost socket against the in-process replay server, wire auth +
+    SHOW MASTER STATUS auto-positioning) closes segments while a
+    concurrent incremental ingest applies each one as it lands —
+    sustained events/s from first byte to last transactional commit."""
+    import threading
+    import time as _time
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    from myzql_binlog_connector_ray import api
+    from myzql_binlog_connector_ray.fixtures.change_stream import (
+        build_transactions,
+        load_docs,
+        materialize,
+    )
+    from myzql_binlog_connector_ray.logging_config import quiet_empty_partition_warnings
+    from myzql_binlog_connector_ray.pipelines.ingest import run_ingest
+    from myzql_binlog_connector_ray.sources.binlog_tail import tail_binlog_to_segments
+    from myzql_binlog_connector_ray.sources.replay_server import ReplayServer
+
+    quiet_empty_partition_warnings()
+    DataContext.get_current().enable_progress_bars = False
+
+    replicate = int(os.environ.get("GRAFT_STREAM_REPLICATE", "100"))
+    n_segments = int(os.environ.get("GRAFT_STREAM_SEGMENTS", "16"))
+    n_parts = int(os.environ.get("GRAFT_STREAM_PARTITIONS", "64"))
+    fx = materialize(SF_DIR, api.WORK_DIR, num_segments=n_segments, rows_per_event=200, replicate=replicate)
+    n_events = sum(len(t["rows"]) for t in build_transactions(load_docs(SF_DIR, replicate), 200))
+
+    lake_src = api._fresh_lake(fx, n_parts)
+    lake_dir = os.path.join(fx["root"], f"stream_lake_{NUM_CPUS}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    shutil.copytree(lake_src, lake_dir)
+    out_dir = os.path.join(fx["root"], f"stream_segments_{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    concurrency = max(2, (NUM_CPUS * 3) // 4)
+    originals = {os.path.basename(p) for p in fx["segment_paths"]}
+
+    def closed() -> list[str]:
+        if not os.path.isdir(out_dir):
+            return []
+        return sorted(
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.startswith("binlog.") and f in originals
+        )
+
+    with ReplayServer(os.path.dirname(fx["segment_paths"][0])) as srv:
+        t0 = _time.perf_counter()
+        tail_sec = [None]
+
+        def _tail():
+            # start_file=None → SHOW MASTER STATUS auto-positioning
+            tail_binlog_to_segments(
+                out_dir, port=srv.port, user="repl", password="secret", start_file=None
+            )
+            tail_sec[0] = _time.perf_counter() - t0
+
+        th = threading.Thread(target=_tail)
+        th.start()
+        consumed: set[str] = set()
+        ingest_busy = 0.0
+        # incremental waves commit as DELTAS by default (no per-wave
+        # base rewrite — the streaming write-amplification shape; at
+        # this fixture scale the base partitions are small enough that
+        # rewrite measures within host noise of delta, see BASELINE.md),
+        # then one compaction folds the lake back to read-optimal
+        # single-file partitions; both are inside the timed window.
+        sink = os.environ.get("GRAFT_STREAM_SINK", "delta")
+        while True:
+            new = [p for p in closed() if p not in consumed]
+            if new:
+                ti = _time.perf_counter()
+                run_ingest(
+                    new, lake_dir, num_partitions=n_parts, concurrency=concurrency, sink=sink
+                )
+                ingest_busy += _time.perf_counter() - ti
+                consumed.update(new)
+            elif not th.is_alive():
+                break
+            else:
+                _time.sleep(0.05)
+        th.join()
+        from myzql_binlog_connector_ray.pipelines.ingest import compact_lake
+
+        ti = _time.perf_counter()
+        if sink == "delta":
+            compact_lake(lake_dir)
+        compact_sec = _time.perf_counter() - ti
+        e2e_sec = _time.perf_counter() - t0
+    assert {os.path.basename(p) for p in consumed} == originals, "stream incomplete"
+    ray.shutdown()
+    return {
+        "metric": "streaming_e2e_events_per_sec",
+        "value": round(n_events / e2e_sec, 1),
+        "unit": "events/sec",
+        "e2e_sec": round(e2e_sec, 4),
+        "tail_sec": round(tail_sec[0], 4) if tail_sec[0] else None,
+        "ingest_busy_sec": round(ingest_busy, 4),
+        "compaction_sec": round(compact_sec, 4),
+        "sink": sink,
+        "change_events": n_events,
+        "segments": len(originals),
+        "num_cpus": NUM_CPUS,
+        "sf": SF_DIR,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--streaming" in sys.argv:
+        print(json.dumps(run_streaming()))
     else:
         print(json.dumps(run_bench()))

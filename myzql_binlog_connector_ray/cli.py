@@ -43,7 +43,10 @@ def _segment_paths(cfg) -> list[str]:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="myzql-binlog-connector-ray")
-    parser.add_argument("mode", choices=["stdout", "parquet", "apply", "tail", "bootstrap"])
+    parser.add_argument(
+        "mode",
+        choices=["stdout", "parquet", "apply", "apply-multi", "compact", "tail", "bootstrap"],
+    )
     parser.add_argument("config", help="path to job config JSON")
     parser.add_argument("-v", "--verbose", action="store_true", help="shorthand for --log-level debug")
     parser.add_argument(
@@ -125,6 +128,29 @@ def main(argv=None) -> int:
             ray.shutdown()
         return 0
 
+    if args.mode == "compact":
+        # fold delta files back into single-file partitions (no segments needed)
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(
+                address="local",
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="INFO" if args.verbose else "ERROR",
+            )
+        try:
+            from .pipelines.ingest import compact_lake
+
+            lake = cfg.lake_dir or os.path.join(cfg.output_dir, "lake")
+            summaries = compact_lake(lake)
+            compacted = sum(1 for s in summaries if not s["skipped"])
+            print(f"compacted {lake}: {compacted}/{len(summaries)} partitions folded")
+            log.info("compact: %d/%d partitions", compacted, len(summaries))
+        finally:
+            ray.shutdown()
+        return 0
+
     paths = _segment_paths(cfg)
     log.info("mode=%s segments=%d dir=%s", args.mode, len(paths), cfg.segments_dir)
 
@@ -166,6 +192,32 @@ def main(argv=None) -> int:
             os.makedirs(cfg.output_dir, exist_ok=True)
             ds.write_parquet(cfg.output_dir)
             print(f"envelope written to {cfg.output_dir}")
+        elif args.mode == "apply-multi":
+            from .pipelines.ingest import TABLE_CONFIGS, run_ingest_multi
+
+            lake = cfg.lake_dir or os.path.join(cfg.output_dir, "lake")
+            os.makedirs(lake, exist_ok=True)
+            tables = (
+                [tuple(t.split(".", 1)) for t in cfg.tables]
+                if cfg.tables
+                else list(TABLE_CONFIGS)
+            )
+            unknown = [t for t in tables if t not in TABLE_CONFIGS]
+            if unknown:
+                raise SystemExit(f"tables not in TABLE_CONFIGS: {unknown}")
+            summaries = run_ingest_multi(
+                paths,
+                lake,
+                tables=tables,
+                num_partitions=cfg.num_partitions,
+                concurrency=cfg.concurrency,
+                sink=cfg.sink,
+            )
+            committed = sum(1 for s in summaries if not s["skipped"])
+            print(
+                f"applied {len(tables)} tables into {lake}: "
+                f"{committed}/{len(summaries)} (table, partition) commits"
+            )
         else:  # apply
             lake = cfg.lake_dir or os.path.join(cfg.output_dir, "lake")
             os.makedirs(lake, exist_ok=True)
@@ -174,6 +226,7 @@ def main(argv=None) -> int:
                 lake,
                 num_partitions=cfg.num_partitions,
                 concurrency=cfg.concurrency,
+                sink=cfg.sink,
             )
             committed = sum(1 for s in summaries if not s["skipped"])
             rows = sum(s["rows"] for s in summaries)

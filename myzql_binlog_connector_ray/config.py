@@ -58,6 +58,14 @@ class JobConfig:
     num_partitions: int = 64
     concurrency: Optional[int] = None
 
+    # apply-mode sink: "rewrite" (fold + rewrite each touched partition)
+    # or "delta" (append LWW-reduced delta files; compact later)
+    sink: str = "rewrite"
+    # apply-multi mode: tables to replicate, as "schema.table" strings;
+    # each must be registered in pipelines.ingest.TABLE_CONFIGS (or a
+    # caller-supplied config when used via the API)
+    tables: list[str] = field(default_factory=list)
+
     # accepted-but-ignored socket-mode fields (reference compatibility)
     host: Optional[str] = None
     port: int = 3306
@@ -71,6 +79,11 @@ class JobConfig:
             raise ConfigError("parquet_batch_size must be positive")
         if self.num_partitions <= 0:
             raise ConfigError("num_partitions must be positive")
+        if self.sink not in ("rewrite", "delta"):
+            raise ConfigError(f"sink must be 'rewrite' or 'delta', got {self.sink!r}")
+        for t in self.tables:
+            if t.count(".") != 1 or not all(t.split(".")):
+                raise ConfigError(f"tables entries must be 'schema.table', got {t!r}")
 
         if self.to_binlog_file is not None and self.from_binlog_file is not None:
             fn_from = binlog_file_number(self.from_binlog_file)

@@ -470,6 +470,7 @@ def run_ingest_multi(
     registry: Optional[dict] = None,
     min_ordinal: Optional[int] = None,
     max_ordinal: Optional[int] = None,
+    sink: str = "rewrite",
 ) -> list[dict]:
     """Multi-table transactional ingest: ONE decode pass over the
     segment bytes emits a per-table typed change stream for EVERY
@@ -525,6 +526,7 @@ def run_ingest_multi(
             lake_root=lake_root,
             table_cfgs=cfg_by_ns,
             write=True,
+            sink_mode=sink,
         ),
         batch_format="pyarrow",
     )
@@ -593,7 +595,10 @@ def compact_lake(
     """Distributed compaction job: fold every partition's delta files
     back into single-file bases (one task per partition, atomic per
     partition, idempotent — partitions without live deltas are
-    skipped). Run it on whatever cadence bounds read amplification."""
+    skipped). Run it on whatever cadence bounds read amplification.
+    Key columns default to each partition's OWN manifest metadata, so
+    this works on any lake namespace without a table config (the CLI
+    ``compact`` mode)."""
     from functools import partial as _partial
 
     from ..stages.apply_arrow import compact_parts
@@ -608,8 +613,8 @@ def compact_lake(
             compact_parts,
             lake_dir=lake_dir,
             key_cols=key_cols,
-            final_columns=final_columns or FINAL_COLUMNS,
-            final_types=final_types or REPOS_TYPED_TYPES,
+            final_columns=final_columns,
+            final_types=final_types,
         ),
         batch_format="pyarrow",
     )

@@ -207,7 +207,9 @@ class ApplyPartitionArrow:
             )
             if "part" in reduced.column_names:
                 reduced = reduced.drop_columns(["part"])
-            manifest = commit_delta(self.lake_dir, part, reduced, watermark)
+            manifest = commit_delta(
+                self.lake_dir, part, reduced, watermark, key_cols=self.key_cols
+            )
             return self._summary(part, manifest["rows"], manifest["watermark"], False)
 
         base = self._read_base(part)
@@ -221,7 +223,9 @@ class ApplyPartitionArrow:
         final = final.take(
             pc.sort_indices(final, sort_keys=[(k, "ascending") for k in self.key_cols])
         )
-        manifest = commit_partition(self.lake_dir, part, final, watermark, _state_sha(final))
+        manifest = commit_partition(
+            self.lake_dir, part, final, watermark, _state_sha(final), key_cols=self.key_cols
+        )
         return self._summary(part, manifest["rows"], manifest["watermark"], False)
 
 
@@ -241,6 +245,11 @@ def compact_partition(
     ``compacted_through=watermark`` atomically BEFORE any delta file is
     unlinked — a crash in between only leaves stale delta files, which
     every reader (``list_delta_files``) and the next compaction ignore.
+
+    ``key_cols``/``final_columns`` default to the partition's OWN
+    manifest metadata (every commit records its key columns), so
+    compaction runs correctly on any lake — including non-repos
+    namespaces — without a table config (the CLI ``compact`` mode).
     """
     import glob
     import os
@@ -255,8 +264,8 @@ def compact_partition(
         read_manifest,
     )
 
-    keys = key_cols or KEY_COLS
     manifest = read_manifest(lake_dir, part) or {}
+    keys = key_cols or manifest.get("key_cols") or KEY_COLS
     compacted_through = int(manifest.get("compacted_through", -1))
     all_deltas = sorted(glob.glob(os.path.join(partition_dir(lake_dir, part), "delta-*.parquet")))
     live = list_delta_files(lake_dir, part, compacted_through)
@@ -290,7 +299,7 @@ def compact_partition(
     watermark = max(
         int(manifest.get("watermark", -1)), max(delta_watermark_of(f) for f in live)
     )
-    out = _commit(lake_dir, part, final, watermark, _state_sha(final))
+    out = _commit(lake_dir, part, final, watermark, _state_sha(final), key_cols=keys)
     for f in live + stale:
         try:
             os.unlink(f)
@@ -430,6 +439,7 @@ def apply_staged_parts_multi(
     lake_root: str = "",
     table_cfgs: Optional[dict] = None,
     write: bool = True,
+    sink_mode: str = "rewrite",
 ) -> pa.Table:
     """Reduce side of the MULTI-table staged exchange. Input rows:
     ``(table_ns, part)``; each row's staged change files live under
@@ -451,6 +461,7 @@ def apply_staged_parts_multi(
             final_columns=cfg.get("final_columns"),
             final_types=cfg.get("types"),
             key_cols=cfg.get("keys"),
+            sink_mode=sink_mode,
         )
         empty = stage.inner._summary(-1, 0, -1, True).slice(0, 0)
         changes = stage._read_staged(int(part))

@@ -80,7 +80,7 @@ def list_delta_files(lake_dir: str, part: int, compacted_through: int = -1) -> l
     return [f for f in files if delta_watermark_of(f) > compacted_through]
 
 
-def commit_delta(lake_dir: str, part: int, table, watermark: int) -> dict:
+def commit_delta(lake_dir: str, part: int, table, watermark: int, key_cols=None) -> dict:
     """Append one delta file (LWW-reduced change rows, still carrying
     ordinal/event_row_index/dml) instead of folding + rewriting the
     partition base — the low-write-amplification sink for small
@@ -106,6 +106,10 @@ def commit_delta(lake_dir: str, part: int, table, watermark: int) -> dict:
         "state_sha256": "",
         "deltas": int(prev.get("deltas", 0)) + 1,
         "compacted_through": int(prev.get("compacted_through", -1)),
+        # authoritative per-partition key columns: compaction (which may
+        # run without any table config, e.g. the CLI compact mode)
+        # folds by these
+        "key_cols": list(key_cols) if key_cols else prev.get("key_cols"),
     }
     mpath = manifest_path(lake_dir, part)
     mtmp = mpath + f".tmp-{uuid.uuid4().hex}"
@@ -121,6 +125,7 @@ def commit_partition(
     table,
     watermark: int,
     state_sha256: str,
+    key_cols=None,
 ) -> dict:
     """Atomically replace a partition's data file and manifest."""
     import pyarrow.parquet as pq
@@ -142,6 +147,7 @@ def commit_partition(
         # everything ≤ watermark is folded into the base, so any delta
         # file at or below it is stale (see list_delta_files)
         "compacted_through": int(watermark),
+        "key_cols": list(key_cols) if key_cols else None,
     }
     mpath = manifest_path(lake_dir, part)
     mtmp = mpath + f".tmp-{uuid.uuid4().hex}"

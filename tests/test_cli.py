@@ -154,3 +154,50 @@ def test_cli_bootstrap_requires_snapshot(tmp_path):
     r = _run_cli("bootstrap", str(cfg_path))
     assert r.returncode != 0
     assert "base_snapshot" in (r.stderr + r.stdout)
+
+
+def test_cli_apply_multi_delta_then_compact(fixture_paths, tmp_path):
+    """apply-multi with the delta sink, then compact: both namespaces
+    committed, delta files present, compaction folds them away."""
+    import shutil
+
+    work = tmp_path / "multi"
+    work.mkdir()
+    cfg = {
+        "segments_dir": fixture_paths["segments_dir"],
+        "output_dir": str(work / "out"),
+        "lake_dir": str(work / "lake"),
+        "num_partitions": 4,
+        "sink": "delta",
+        "tables": ["app.repos", "metrics.counters"],
+    }
+    cfg_path = work / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    r = _run_cli("apply-multi", str(cfg_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "(table, partition) commits" in r.stdout
+    assert glob.glob(os.path.join(cfg["lake_dir"], "*", "part=*", "delta-*.parquet"))
+
+    # compact mode operates per namespace dir
+    for ns in ("app.repos", "metrics.counters"):
+        ns_cfg = dict(cfg, lake_dir=os.path.join(cfg["lake_dir"], ns))
+        ns_path = work / f"cfg_{ns}.json"
+        ns_path.write_text(json.dumps(ns_cfg))
+        r = _run_cli("compact", str(ns_path))
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "partitions folded" in r.stdout
+    assert not glob.glob(os.path.join(cfg["lake_dir"], "*", "part=*", "delta-*.parquet"))
+
+
+def test_config_rejects_bad_sink_and_tables(tmp_path):
+    from myzql_binlog_connector_ray.config import ConfigError, JobConfig
+
+    with pytest.raises(ConfigError, match="sink"):
+        JobConfig.from_dict({"segments_dir": "x", "sink": "appendish"})
+    with pytest.raises(ConfigError, match="schema.table"):
+        JobConfig.from_dict({"segments_dir": "x", "tables": ["norepo"]})
+    cfg = JobConfig.from_dict(
+        {"segments_dir": "x", "sink": "delta", "tables": ["app.repos"]}
+    )
+    assert cfg.sink == "delta" and cfg.tables == ["app.repos"]

@@ -164,3 +164,29 @@ def test_multi_ingest_schema_evolution_per_table(ray_session, tmp_path):
     ctr = read_lake(os.path.join(root, "metrics.counters")).to_pandas().set_index("id")
     assert ctr.loc[7, "val"] == 71 and ctr.loc[7, "note"] == "bumped"  # LWW across evolution
     assert ctr.loc[8, "note"] == "n8"
+
+
+def test_multi_ingest_delta_sink_matches_rewrite(ray_session, fixture_paths, multi_lake, tmp_path_factory):
+    """Multi-table ingest with the delta sink + per-namespace compaction
+    equals the rewrite-sink multi lake for both tables."""
+    from myzql_binlog_connector_ray.pipelines.ingest import FINAL_COLUMNS, compact_lake
+
+    rewrite_root, _ = multi_lake
+    root = str(tmp_path_factory.mktemp("multidelta"))
+    init_lake(pq.read_table(fixture_paths["base_lake"]), os.path.join(root, "app.repos"), 8)
+    rows = run_ingest_multi(fixture_paths["segment_paths"], root, num_partitions=8, sink="delta")
+    assert {r["table_ns"] for r in rows} == {"app.repos", "metrics.counters"}
+    import glob
+
+    assert glob.glob(os.path.join(root, "*", "part=*", "delta-*.parquet"))
+    # no table config: key columns come from each partition's manifest
+    compact_lake(os.path.join(root, "app.repos"))
+    compact_lake(os.path.join(root, "metrics.counters"))
+
+    for ns, cols, keys in (
+        ("app.repos", FINAL_COLUMNS, ["repo", "path"]),
+        ("metrics.counters", ["id", "val"], ["id"]),
+    ):
+        a = read_lake(os.path.join(root, ns)).to_pandas()[cols].sort_values(keys).reset_index(drop=True)
+        b = read_lake(os.path.join(rewrite_root, ns)).to_pandas()[cols].sort_values(keys).reset_index(drop=True)
+        assert a.equals(b), ns

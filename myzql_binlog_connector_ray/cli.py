@@ -45,7 +45,9 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="myzql-binlog-connector-ray")
     parser.add_argument(
         "mode",
-        choices=["stdout", "parquet", "apply", "apply-multi", "compact", "tail", "bootstrap"],
+        choices=[
+            "stdout", "parquet", "apply", "apply-multi", "compact", "verify", "tail", "bootstrap",
+        ],
     )
     parser.add_argument("config", help="path to job config JSON")
     parser.add_argument("-v", "--verbose", action="store_true", help="shorthand for --log-level debug")
@@ -128,8 +130,8 @@ def main(argv=None) -> int:
             ray.shutdown()
         return 0
 
-    if args.mode == "compact":
-        # fold delta files back into single-file partitions (no segments needed)
+    if args.mode in ("compact", "verify"):
+        # lake-maintenance modes: operate on the lake dir, no segments needed
         import ray
 
         if not ray.is_initialized():
@@ -140,13 +142,24 @@ def main(argv=None) -> int:
                 logging_level="INFO" if args.verbose else "ERROR",
             )
         try:
-            from .pipelines.ingest import compact_lake
-
             lake = cfg.lake_dir or os.path.join(cfg.output_dir, "lake")
-            summaries = compact_lake(lake)
-            compacted = sum(1 for s in summaries if not s["skipped"])
-            print(f"compacted {lake}: {compacted}/{len(summaries)} partitions folded")
-            log.info("compact: %d/%d partitions", compacted, len(summaries))
+            if args.mode == "compact":
+                from .pipelines.ingest import compact_lake
+
+                summaries = compact_lake(lake)
+                compacted = sum(1 for s in summaries if not s["skipped"])
+                print(f"compacted {lake}: {compacted}/{len(summaries)} partitions folded")
+                log.info("compact: %d/%d partitions", compacted, len(summaries))
+            else:
+                from .pipelines.ingest import verify_lake
+
+                rows = verify_lake(lake)
+                bad = [r for r in rows if not r["ok"]]
+                for r in bad:
+                    print(f"part={r['part']}: {r['detail']}")
+                print(f"verified {lake}: {len(rows) - len(bad)}/{len(rows)} partitions ok")
+                if bad:
+                    return 1
         finally:
             ray.shutdown()
         return 0

@@ -585,6 +585,28 @@ def read_lake_state(
     )
 
 
+def verify_lake(lake_dir: str) -> list[dict]:
+    """Distributed lineage-integrity audit: one task per partition
+    recomputes the state digest + row count from the on-disk base and
+    compares them to the committed manifest (north-rule lineage: the
+    manifest sha chain is only useful if it can be re-checked). Returns
+    one {part, ok, detail} row per partition."""
+    from functools import partial as _partial
+
+    from ..stages.apply_arrow import verify_parts
+
+    parts = _lake_parts(lake_dir)
+    if not parts:
+        return []
+    return (
+        ray.data.from_items(
+            [{"part": p} for p in parts], override_num_blocks=max(1, len(parts))
+        )
+        .map_batches(_partial(verify_parts, lake_dir=lake_dir), batch_format="pyarrow")
+        .take_all()
+    )
+
+
 def compact_lake(
     lake_dir: str,
     *,

@@ -333,6 +333,74 @@ def compact_parts(
     )
 
 
+def verify_parts(batch: pa.Table, lake_dir: str = "") -> pa.Table:
+    """Lineage-integrity audit body: recompute each partition's state
+    digest (and row count) from its on-disk base and compare against
+    the committed manifest — bit rot, a torn write, or out-of-band
+    edits all surface as a mismatch. Partitions whose manifest is a
+    delta commit (state_sha == "", rows == -1) are reported as
+    ``unverifiable`` until the next compaction folds them."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import partition_dir, read_manifest
+
+    parts, oks, reasons = [], [], []
+    for p in batch["part"].to_pylist():
+        p = int(p)
+        manifest = read_manifest(lake_dir, p)
+        parts.append(p)
+        if manifest is None:
+            oks.append(False)
+            reasons.append("missing manifest")
+            continue
+        if not manifest.get("state_sha256"):
+            oks.append(True)
+            reasons.append("unverifiable (delta commit; compact to seal)")
+            continue
+        base_files = [
+            f
+            for f in sorted(glob.glob(os.path.join(partition_dir(lake_dir, p), "*.parquet")))
+            if not os.path.basename(f).startswith("delta-")
+        ]
+        if not base_files:
+            oks.append(False)
+            reasons.append("manifest present but no base data file")
+            continue
+        t = pa.concat_tables([pq.read_table(f) for f in base_files], promote_options="permissive")
+        if t.num_rows != manifest["rows"]:
+            oks.append(False)
+            reasons.append(f"rows {t.num_rows} != manifest {manifest['rows']}")
+            continue
+        got = _state_sha(t)
+        if got != manifest["state_sha256"]:
+            oks.append(False)
+            reasons.append("state sha mismatch")
+            continue
+        # the manifest chain hashes the content_sha256 column — also
+        # re-derive that column from the content itself, or a content
+        # edit that leaves the sha column intact would slip through
+        if "content" in t.column_names and "content_sha256" in t.column_names:
+            want = sha256_hex(t["content"].to_pylist())
+            have = t["content_sha256"].to_pylist()
+            n_bad = sum(1 for w, h in zip(want, have) if w != h)
+            if n_bad:
+                oks.append(False)
+                reasons.append(f"content/sha binding violated on {n_bad} rows")
+                continue
+        oks.append(True)
+        reasons.append("ok")
+    return pa.table(
+        {
+            "part": pa.array(parts, pa.int32()),
+            "ok": pa.array(oks, pa.bool_()),
+            "detail": pa.array(reasons, pa.string()),
+        }
+    )
+
+
 def read_state_parts(
     batch: pa.Table,
     lake_dir: str = "",

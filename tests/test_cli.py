@@ -201,3 +201,10 @@ def test_config_rejects_bad_sink_and_tables(tmp_path):
         {"segments_dir": "x", "sink": "delta", "tables": ["app.repos"]}
     )
     assert cfg.sink == "delta" and cfg.tables == ["app.repos"]
+
+
+def test_cli_verify_mode(cli_env):
+    """verify mode re-checks manifests; depends on apply having run."""
+    r = _run_cli("verify", cli_env["cfg"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "partitions ok" in r.stdout

@@ -162,3 +162,45 @@ def test_stale_delta_ignored_after_crash(ray_session, tmp_path):
     assert got.loc[got["repo"] == "r1", "content"].iloc[0] == "v9"
     compact_lake(lake)
     assert not os.path.exists(stale)  # lazily cleaned
+
+
+def test_verify_lake_detects_tampering(ray_session, fixture_paths, tmp_path):
+    """Lineage audit: a clean committed lake verifies; an out-of-band
+    edit to one partition file is detected; delta commits report
+    unverifiable until compaction seals them."""
+    from myzql_binlog_connector_ray.pipelines.ingest import run_ingest, verify_lake
+
+    lake = str(tmp_path / "vlake")
+    init_lake(pq.read_table(fixture_paths["base_lake"]), lake, 4)
+    run_ingest(fixture_paths["segment_paths"], lake, num_partitions=4)
+    rows = verify_lake(lake)
+    assert rows and all(r["ok"] for r in rows)
+
+    # tamper: rewrite one partition's data file with a row dropped
+    victim = glob.glob(os.path.join(lake, "part=*", "data.parquet"))[0]
+    t = pq.read_table(victim)
+    pq.write_table(t.slice(1), victim)
+    bad = [r for r in verify_lake(lake) if not r["ok"]]
+    assert len(bad) == 1 and "rows" in bad[0]["detail"]
+
+    # same-rows value tamper → sha mismatch
+    t2 = t.set_column(
+        t.schema.get_field_index("content"), "content",
+        pa.array(["tampered"] * t.num_rows, pa.string()),
+    )
+    pq.write_table(t2, victim)
+    bad = [r for r in verify_lake(lake) if not r["ok"]]
+    assert len(bad) == 1 and "binding violated" in bad[0]["detail"]
+
+    # delta commits are honest about being unverifiable
+    lake2 = str(tmp_path / "vlake_delta")
+    init_lake(pq.read_table(fixture_paths["base_lake"]), lake2, 4)
+    run_ingest(fixture_paths["segment_paths"], lake2, num_partitions=4, sink="delta")
+    rows = verify_lake(lake2)
+    assert all(r["ok"] for r in rows)
+    assert any("unverifiable" in r["detail"] for r in rows)
+    from myzql_binlog_connector_ray.pipelines.ingest import compact_lake
+
+    compact_lake(lake2)
+    rows = verify_lake(lake2)
+    assert all(r["ok"] and r["detail"] == "ok" for r in rows)

@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data operators
         "dedup_exact": api.dedup_exact,
         "token_count_by_lang": api.token_count_by_lang,
+        "sequence_packing_stats": api.sequence_packing_stats,
         "quality_stats_by_source": api.quality_stats_by_source,
         "lang_distribution": api.lang_distribution,
         "ann_topk_bruteforce": api.ann_topk_bruteforce,
@@ -597,6 +598,27 @@ def oracle_sql() -> dict[str, str]:
                             ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY lang
+        """,
+        # sequence packing: contiguous-greedy per lang in doc_id order;
+        # a doc belongs to the sequence where its prefix starts
+        "sequence_packing_stats": """
+            WITH t AS (
+              SELECT lang, doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT lang, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) - n_tokens AS prefix
+              FROM t
+            )
+            SELECT lang, CAST(prefix // 512 AS BIGINT) AS seq_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+            FROM c GROUP BY lang, seq_id
         """,
         "quality_stats_by_source": """
             SELECT source, count(*) AS n_docs,

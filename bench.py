@@ -198,6 +198,7 @@ def run_bench() -> dict:
         timed("events_user_trailing_window", api.events_user_trailing_window)
         timed("token_counts_cms", api.token_counts_cms)
         timed("asof_last_event_per_order", api.asof_last_event_per_order)
+        timed("sequence_packing_stats", api.sequence_packing_stats)
 
         # round-4 pipelines over the bench-scale fixture stream:
         from myzql_binlog_connector_ray.pipelines.ingest import compact_lake, run_ingest_multi

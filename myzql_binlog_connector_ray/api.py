@@ -3394,6 +3394,83 @@ def url_domain_stats(sf_dir: str, *, concurrency=None):
     )
 
 
+def sequence_packing_stats(sf_dir: str, *, budget: int = 512, num_parts: int = 8):
+    """Sequence packing for pretraining — pack documents into
+    fixed-token-budget training sequences per language and report
+    per-sequence stats (the step between chunking and batch export in
+    a real LLM data pipeline). Deterministic contiguous-greedy spec the
+    DuckDB oracle recomputes with one window function: docs pack in
+    doc_id order within their lang, and a doc belongs to the sequence
+    where its prefix starts — ``seq_id = (cumsum(tokens) − tokens) //
+    budget`` (an over-budget doc straddles sequences and counts where
+    it starts, standard contiguous-packing overflow).
+
+    Scale shape: token counts are computed where the text lives (one
+    ``map_batches``; text never shuffles), the exchange ships only
+    (lang, doc_id, n_tokens) triples hash-partitioned by lang (the
+    packing key), and each partition does one lexsort + a vectorized
+    per-segment prefix sum + one arrow group_by. Output is one row per
+    (lang, sequence)."""
+    from .functions.agg import hash_part
+
+    ds = _docs_ds(sf_dir, ["doc_id", "lang", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        out = token_count_batch(t).select(["doc_id", "lang", "n_tokens"])
+        part = hash_part(out, ["lang"], num_parts)
+        return out.append_column("_part", pa.array(part, pa.int32()))
+
+    def pack_part(g: pa.Table) -> pa.Table:
+        n = len(g)
+        if not n:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "seq_id": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "seq_tokens": pa.array([], pa.int64()),
+                }
+            )
+        lang = g["lang"].to_numpy(zero_copy_only=False)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        ntok = g["n_tokens"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(lang, return_inverse=True)
+        order = np.lexsort((did, codes))
+        lang, ntok, codes = lang[order], ntok[order], codes[order]
+        cum = np.cumsum(ntok)
+        start = cum - ntok  # global prefix before each doc
+        # per-lang-segment prefix: subtract the segment head's global prefix
+        new = np.ones(n, dtype=bool)
+        new[1:] = codes[1:] != codes[:-1]
+        head_idx = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        prefix = start - start[head_idx]
+        seq = (prefix // budget).astype(np.int64)
+        out = (
+            pa.table(
+                {
+                    "lang": pa.array(lang, pa.string()),
+                    "seq_id": pa.array(seq, pa.int64()),
+                    "n_tokens": pa.array(ntok.astype(np.int64), pa.int64()),
+                }
+            )
+            .group_by(["lang", "seq_id"])
+            .aggregate([([], "count_all"), ("n_tokens", "sum")])
+        )
+        # rebuild by name — aggregate output column order is an
+        # implementation detail (same guard as functions/agg.py)
+        return pa.table(
+            {
+                "lang": out["lang"],
+                "seq_id": out["seq_id"],
+                "n_docs": pa.compute.cast(out["count_all"], pa.int64()),
+                "seq_tokens": pa.compute.cast(out["n_tokens_sum"], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(tok, batch_format="pyarrow")
+    return parts.groupby("_part").map_groups(pack_part, batch_format="pyarrow")
+
+
 def lineitem_profile(sf_dir: str):
     """Table profiling — the data-quality primitive behind schema
     dashboards and ingestion gates: one pass over every column of

@@ -103,6 +103,8 @@ SQL_CHECKED = [
     "lake_counters_multi",
     # round 4: delta-sink three-wave ingest + fold-on-read
     "lake_upsert_lww_delta",
+    # round 4: contiguous-greedy sequence packing (window-fn oracle)
+    "sequence_packing_stats",
     "ingest_exactly_once",  # double-replay lake == single-replay lake SQL
     "dedup_clusters",  # connected components vs recursive-CTE fixpoint
     "lake_repo_stats_incremental",  # IVM view == closed-form final-lake stats

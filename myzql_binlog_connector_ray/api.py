@@ -2376,11 +2376,15 @@ class PiiRedactor:
 def pii_redaction_stats(sf_dir: str, *, concurrency=None):
     """PII redaction over the (planted) corpus: per-doc email/ip/phone
     match counts + chars removed by the three-pass substitution. Scale
-    shape: one actor-pool map_batches (compiled regexes are per-actor
-    state), no shuffle, text never leaves the stage."""
-    return _pii_corpus(sf_dir).map_batches(
-        PiiRedactor, batch_format="pyarrow", concurrency=concurrency or (2, 8)
-    )
+    shape: one map_batches, no shuffle, text never leaves the stage —
+    and since round-4 the stage is stateless Arrow-RE2 kernels, it runs
+    as uncapped tasks (the old 8-actor pool ceiling cost ~25% at 32
+    CPUs) unless an explicit actor concurrency is requested."""
+    if concurrency is not None:
+        return _pii_corpus(sf_dir).map_batches(
+            PiiRedactor, batch_format="pyarrow", concurrency=concurrency
+        )
+    return _pii_corpus(sf_dir).map_batches(_task_stage(PiiRedactor), batch_format="pyarrow")
 
 
 def benchmark_decontamination(sf_dir: str, *, n: int = 8, num_parts: int = 32):
@@ -3380,12 +3384,18 @@ def url_domain_stats(sf_dir: str, *, concurrency=None):
     source-mix dashboards: URLs per domain and distinct documents
     citing the domain. Scale shape: one actor-pool map_batches (text
     never leaves the stage), then a combiner exchange over domain
-    partials — output is |domains| rows."""
+    partials — output is |domains| rows. Stateless Arrow-RE2 stage →
+    uncapped tasks by default (see pii_redaction_stats)."""
     from .functions.agg import combiner_aggregate
 
-    partials = _url_corpus(sf_dir).map_batches(
-        UrlExtractor, batch_format="pyarrow", concurrency=concurrency or (2, 8)
-    )
+    if concurrency is not None:
+        partials = _url_corpus(sf_dir).map_batches(
+            UrlExtractor, batch_format="pyarrow", concurrency=concurrency
+        )
+    else:
+        partials = _url_corpus(sf_dir).map_batches(
+            _task_stage(UrlExtractor), batch_format="pyarrow"
+        )
     return combiner_aggregate(
         partials,
         ["domain"],

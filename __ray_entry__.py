@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 3
         "lake_repo_stats_incremental": api.lake_repo_stats_incremental,
         "dedup_clusters": api.dedup_clusters,
+        "dedup_keep_best": api.dedup_keep_best,
         "quality_gopher_by_lang": api.quality_gopher_by_lang,
         "documents_stratified_sample": api.documents_stratified_sample,
         "unigram_logprob_by_lang": api.unigram_logprob_by_lang,
@@ -824,6 +825,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster
             FROM cc GROUP BY node
+        """,
+        # survivor selection: per cluster keep the doc with the most
+        # whitespace tokens, ties broken by min doc_id
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_minhash_cte()},
+            edges AS (
+              SELECT a AS s, b AS d FROM cpairs
+              UNION ALL
+              SELECT b, a FROM cpairs
+            ),
+            cc AS (
+              SELECT doc_id AS node, doc_id AS label FROM corpus
+              UNION
+              SELECT e.d AS node, cc.label
+              FROM cc JOIN edges e ON e.s = cc.node
+            ),
+            lab AS (SELECT node AS doc_id, min(label) AS cluster FROM cc GROUP BY node),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+              FROM corpus
+            ),
+            ranked AS (
+              SELECT l.cluster, t.doc_id, t.n_tokens,
+                     count(*) OVER (PARTITION BY l.cluster) AS n_members,
+                     row_number() OVER (
+                       PARTITION BY l.cluster ORDER BY t.n_tokens DESC, t.doc_id
+                     ) AS rn
+              FROM lab l JOIN toks t USING (doc_id)
+            )
+            SELECT CAST(cluster AS BIGINT) AS cluster,
+                   CAST(doc_id AS BIGINT) AS survivor_doc_id,
+                   CAST(n_tokens AS BIGINT) AS survivor_tokens,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM ranked WHERE rn = 1
         """,
         "minhash_dup_verified": f"""
             WITH {_minhash_cte()},

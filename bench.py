@@ -199,6 +199,7 @@ def run_bench() -> dict:
         timed("token_counts_cms", api.token_counts_cms)
         timed("asof_last_event_per_order", api.asof_last_event_per_order)
         timed("sequence_packing_stats", api.sequence_packing_stats)
+        timed("dedup_keep_best", api.dedup_keep_best)
 
         # round-4 pipelines over the bench-scale fixture stream:
         from myzql_binlog_connector_ray.pipelines.ingest import compact_lake, run_ingest_multi

@@ -1371,6 +1371,101 @@ def dedup_clusters(
     )
 
 
+def dedup_keep_best(sf_dir: str, *, num_parts: int = 16):
+    """Near-dup survivor selection — the step after clustering in a real
+    curation pipeline: within every near-dup cluster keep the
+    best-quality document (here: most whitespace tokens, ties broken by
+    min doc_id — a deterministic, SQL-recomputable quality proxy).
+    Output: one row per cluster with the survivor, its token count, and
+    the cluster size.
+
+    Scale shape: cluster labels come from ``dedup_clusters`` (budgeted
+    auto-switch), token counts are computed where the text lives (never
+    shuffled), the two sides meet in ONE doc_id-hash co-partition
+    exchange (vectorized ``index_in`` gather), and the per-cluster
+    argmax is an ASSOCIATIVE max over the composite
+    ``n_tokens·2³² + (2³²−1−doc_id)`` folded through the combiner tree —
+    so a hot cluster ships ≤1 partial row per block, never its member
+    list."""
+    import pyarrow.compute as pc
+
+    from .functions.agg import combiner_aggregate, hash_part
+
+    labels = dedup_clusters(sf_dir)
+    corpus = _dup_corpus(sf_dir)
+
+    def tok_side(t: pa.Table) -> pa.Table:
+        out = token_count_batch(t).select(["doc_id", "n_tokens"])
+        out = pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "n_tokens": pc.cast(out["n_tokens"], pa.int64()),
+                "cluster": pa.nulls(len(out), pa.int64()),
+                "side": pa.array(np.zeros(len(out), dtype=np.int8)),
+            }
+        )
+        part = hash_part(out, ["doc_id"], num_parts)
+        return out.append_column("_part", pa.array(part, pa.int32()))
+
+    def label_side(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.nulls(len(t), pa.int64()),
+                "cluster": pc.cast(t["cluster"], pa.int64()),
+                "side": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        )
+        part = hash_part(out, ["doc_id"], num_parts)
+        return out.append_column("_part", pa.array(part, pa.int32()))
+
+    STRIDE = np.int64(1) << np.int64(32)
+
+    def join_part(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        toks = g.filter(pa.array(side == 0))
+        labs = g.filter(pa.array(side == 1))
+        keys = toks["doc_id"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        pos = pc.index_in(labs["doc_id"], value_set=keys)
+        ntok = pc.cast(toks["n_tokens"], pa.int64()).take(pos).to_numpy(zero_copy_only=False)
+        did = labs["doc_id"].to_numpy(zero_copy_only=False)
+        comp = ntok.astype(np.int64) * STRIDE + (STRIDE - 1 - did)
+        return pa.table(
+            {
+                "cluster": labs["cluster"],
+                "comp": pa.array(comp, pa.int64()),
+            }
+        )
+
+    joined = corpus.map_batches(tok_side, batch_format="pyarrow").union(
+        labels.map_batches(label_side, batch_format="pyarrow")
+    ).groupby("_part").map_groups(join_part, batch_format="pyarrow")
+
+    agg = combiner_aggregate(
+        joined,
+        ["cluster"],
+        [("comp", "max", "comp_max"), (None, "count", "n_members")],
+        num_parts=num_parts,
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        comp = t["comp_max"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cluster": t["cluster"],
+                "survivor_doc_id": pa.array(
+                    (np.int64(STRIDE) - 1 - (comp % STRIDE)).astype(np.int64), pa.int64()
+                ),
+                "survivor_tokens": pa.array((comp // STRIDE).astype(np.int64), pa.int64()),
+                "n_members": t["n_members"],
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
 def quality_gopher_by_lang(
     sf_dir: str,
     *,

@@ -105,6 +105,8 @@ SQL_CHECKED = [
     "lake_upsert_lww_delta",
     # round 4: contiguous-greedy sequence packing (window-fn oracle)
     "sequence_packing_stats",
+    # round 4: per-cluster survivor selection (associative argmax)
+    "dedup_keep_best",
     "ingest_exactly_once",  # double-replay lake == single-replay lake SQL
     "dedup_clusters",  # connected components vs recursive-CTE fixpoint
     "lake_repo_stats_incremental",  # IVM view == closed-form final-lake stats

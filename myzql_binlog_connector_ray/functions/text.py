@@ -49,10 +49,14 @@ class LanguageId:
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace token counts, vectorized via pandas str ops."""
-    s = batch[text_col].to_pandas()
-    counts = s.str.split().str.len().fillna(0).astype(np.int64)
-    return batch.append_column("n_tokens", pa.array(counts, pa.int64()))
+    """Whitespace token counts — one Arrow RE2 kernel: the number of
+    ``\\S+`` runs equals the post-trim split length (round-4: replaced
+    the pandas str.split list materialization, which built every token
+    as a Python object just to count them)."""
+    import pyarrow.compute as pc
+
+    counts = pc.cast(pc.count_substring_regex(batch[text_col], r"\S+"), pa.int64())
+    return batch.append_column("n_tokens", counts)
 
 
 class QualityScorer:

@@ -143,23 +143,38 @@ def main(argv=None) -> int:
             )
         try:
             lake = cfg.lake_dir or os.path.join(cfg.output_dir, "lake")
-            if args.mode == "compact":
-                from .pipelines.ingest import compact_lake
+            # a multi-table lake root holds namespace subdirs
+            # (<schema>.<table>/part=...) instead of part= dirs directly —
+            # operate on every namespace so "0/0 ok" can't mask one
+            targets = [lake]
+            if not any(d.startswith("part=") for d in os.listdir(lake)):
+                targets = [
+                    os.path.join(lake, d)
+                    for d in sorted(os.listdir(lake))
+                    if os.path.isdir(os.path.join(lake, d)) and not d.startswith("_")
+                ]
+                if not targets:
+                    raise SystemExit(f"no partitions or table namespaces under {lake}")
+            failed = False
+            for tgt in targets:
+                if args.mode == "compact":
+                    from .pipelines.ingest import compact_lake
 
-                summaries = compact_lake(lake)
-                compacted = sum(1 for s in summaries if not s["skipped"])
-                print(f"compacted {lake}: {compacted}/{len(summaries)} partitions folded")
-                log.info("compact: %d/%d partitions", compacted, len(summaries))
-            else:
-                from .pipelines.ingest import verify_lake
+                    summaries = compact_lake(tgt)
+                    compacted = sum(1 for s in summaries if not s["skipped"])
+                    print(f"compacted {tgt}: {compacted}/{len(summaries)} partitions folded")
+                    log.info("compact: %d/%d partitions", compacted, len(summaries))
+                else:
+                    from .pipelines.ingest import verify_lake
 
-                rows = verify_lake(lake)
-                bad = [r for r in rows if not r["ok"]]
-                for r in bad:
-                    print(f"part={r['part']}: {r['detail']}")
-                print(f"verified {lake}: {len(rows) - len(bad)}/{len(rows)} partitions ok")
-                if bad:
-                    return 1
+                    rows = verify_lake(tgt)
+                    bad = [r for r in rows if not r["ok"]]
+                    for r in bad:
+                        print(f"{tgt} part={r['part']}: {r['detail']}")
+                    print(f"verified {tgt}: {len(rows) - len(bad)}/{len(rows)} partitions ok")
+                    failed = failed or bool(bad)
+            if failed:
+                return 1
         finally:
             ray.shutdown()
         return 0

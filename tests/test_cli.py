@@ -208,3 +208,30 @@ def test_cli_verify_mode(cli_env):
     r = _run_cli("verify", cli_env["cfg"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "partitions ok" in r.stdout
+
+
+def test_cli_verify_multi_namespace_root(fixture_paths, tmp_path):
+    """verify/compact on a MULTI-table lake root descend into the
+    namespace subdirs instead of reporting a hollow 0/0 ok."""
+    work = tmp_path / "vm"
+    work.mkdir()
+    cfg = {
+        "segments_dir": fixture_paths["segments_dir"],
+        "output_dir": str(work / "out"),
+        "lake_dir": str(work / "lake"),
+        "num_partitions": 4,
+        "sink": "delta",
+    }
+    cfg_path = work / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    r = _run_cli("apply-multi", str(cfg_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _run_cli("compact", str(cfg_path))  # root-level: folds every namespace
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.count("partitions folded") == 2
+    assert not glob.glob(os.path.join(cfg["lake_dir"], "*", "part=*", "delta-*.parquet"))
+
+    r = _run_cli("verify", str(cfg_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.count("partitions ok") == 2

@@ -220,3 +220,44 @@ def test_url_extractor_vectorized_matches_findall():
             docs.setdefault(d, set()).add(i)
     assert dict(got["n_urls_p"]) == urls
     assert dict(got["n_docs_p"]) == {d: len(v) for d, v in docs.items()}
+
+
+def test_typed_dedup_lww_across_numeric_suffix_boundary(ray_session):
+    """Decode-level regression: the fused LWW pre-dedup scans segments
+    in commit order even across the .999999 -> .1000000 suffix widening
+    (lexicographic order would let the OLD value win)."""
+    from myzql_binlog_connector_ray.kernel import binlog_writer as bw
+    from myzql_binlog_connector_ray.stages.decode import SegmentDecoder
+
+    spec = bw.TableSpec(
+        "app", "repos", 101,
+        [bw.c_varchar(100), bw.c_varchar(100), bw.c_varchar(100)],
+        ["repo", "path", "content"],
+    )
+
+    def seg(ordinal, content):
+        w = bw.SegmentWriter()
+        w.format_description()
+        w.gtid(ordinal)
+        w.table_map(spec)
+        w.write_rows(spec, [["r", "p", content]])
+        w.rotate("x")
+        return w.getvalue()
+
+    dec = SegmentDecoder(
+        mode="typed",
+        registry={("app", "repos"): ["repo", "path", "content"]},
+        target_table=("app", "repos"),
+        dedup_keys=["repo", "path"],
+    )
+    out = dec(
+        pa.table(
+            {
+                "path": ["binlog.1000000", "binlog.999999"],
+                "bytes": [seg(2, "NEW"), seg(1, "OLD")],
+            }
+        )
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["content"] == "NEW"
+    assert out.iloc[0]["segment"] == "binlog.1000000"

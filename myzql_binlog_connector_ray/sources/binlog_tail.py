@@ -125,6 +125,11 @@ class BinlogTailer:
         try:
             for frame in conn.iter_event_frames():
                 event_type, timestamp, _sid, _size, log_pos, _flags = parse_event_header(frame)
+                if event_type == EventType.HEARTBEAT_EVENT:
+                    # server-generated keepalive on an idle blocking dump —
+                    # never part of an on-disk binlog file, so writing it
+                    # would make segments diverge from the server's files
+                    continue
                 if event_type == EventType.ROTATE_EVENT:
                     next_file, _next_pos = parse_rotate(frame[19:-4])
                     if timestamp == 0:

@@ -394,3 +394,47 @@ def test_sha256_password_rsa_full_auth_without_tls(fixture_paths, tmp_path):
             MysqlConnection(port=srv.port, user="repl", password="wrong").connect()
         assert ei.value.code == 1045
     assert srv.errors == []
+
+
+def test_tail_skips_heartbeat_frames(fixture_paths, tmp_path):
+    """Server heartbeats (idle-connection keepalives) must not be
+    written into segment files — they are not part of on-disk binlogs."""
+    import struct
+    import zlib
+
+    from myzql_binlog_connector_ray.kernel.constants import EventType
+    from myzql_binlog_connector_ray.sources.replay_server import ReplayServer
+
+    class HeartbeatServer(ReplayServer):
+        def _stream_binlogs(self, io, start_file):
+            from myzql_binlog_connector_ray.sources.replay_server import (
+                EOF as _EOF,
+                fake_rotate_frame,
+                iter_raw_frames,
+            )
+
+            io.write_packet(b"\x00" + fake_rotate_frame(start_file))
+            # interleave a heartbeat before the real frames
+            payload = start_file.encode()
+            size = 19 + len(payload) + 4
+            hdr = struct.pack("<IBIIIH", 0, EventType.HEARTBEAT_EVENT, 1, size, 0, 0)
+            body = hdr + payload
+            io.write_packet(b"\x00" + body + struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF))
+            with open(os.path.join(self.segment_dir, start_file), "rb") as f:
+                blob = f.read()
+            for frame in iter_raw_frames(blob):
+                io.write_packet(b"\x00" + frame)
+            io.write_packet(_EOF)
+
+    seg_dir = os.path.dirname(fixture_paths["segment_paths"][0])
+    with HeartbeatServer(seg_dir) as srv:
+        out = str(tmp_path / "hb")
+        manifests = tail_binlog_to_segments(
+            out, port=srv.port, user="repl", password="secret", start_file="binlog.000001"
+        )
+    assert srv.errors == []
+    first = [m for m in manifests if m.segment == "binlog.000001"]
+    assert first
+    src = os.path.join(seg_dir, "binlog.000001")
+    with open(src, "rb") as a, open(first[0].path, "rb") as b:
+        assert a.read() == b.read()  # byte-identical despite the heartbeat

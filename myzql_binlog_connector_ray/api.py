@@ -1431,6 +1431,17 @@ def dedup_keep_best(sf_dir: str, *, num_parts: int = 16):
         pos = pc.index_in(labs["doc_id"], value_set=keys)
         ntok = pc.cast(toks["n_tokens"], pa.int64()).take(pos).to_numpy(zero_copy_only=False)
         did = labs["doc_id"].to_numpy(zero_copy_only=False)
+        if len(did) and (
+            did.min() < 0 or did.max() >= int(STRIDE) - 1 or ntok.max() >= (1 << 31)
+        ):
+            # same guard discipline as events_user_trailing_window: the
+            # composite argmax only encodes 0 ≤ doc_id < 2^32−1 and
+            # n_tokens < 2^31 in one int64
+            raise ValueError(
+                "dedup_keep_best composite requires 0 <= doc_id < 2^32-1 and "
+                f"n_tokens < 2^31; saw doc_id [{did.min()}, {did.max()}], "
+                f"max tokens {ntok.max()}"
+            )
         comp = ntok.astype(np.int64) * STRIDE + (STRIDE - 1 - did)
         return pa.table(
             {
@@ -3438,29 +3449,62 @@ class UrlExtractor:
 
         # vectorized findall (round-4: Arrow RE2 has no multi-match
         # extract, so split on the scheme token and anchor-extract the
-        # domain from every following fragment — equivalent to the
-        # URL_PATTERN findall whenever a scheme token is followed by a
-        # domain char, which the spec's domain class guarantees for
-        # every real match; parity with Python re is test-pinned):
+        # domain from every following fragment). This equals the
+        # URL_PATTERN findall scan EXCEPT when one match's consumption
+        # can reach the next scheme token (a scheme inside another
+        # URL's space-free path, or abutting a domain) — only possible
+        # when some non-final post-scheme fragment contains no space,
+        # so those rare docs take an exact Python-re fallback and
+        # everything else stays vectorized. Parity is test-pinned
+        # including the redirect-style nested-URL cases.
         parts = pc.split_pattern_regex(t["text"], r"https?://")
         if isinstance(parts, pa.ChunkedArray):
             parts = parts.combine_chunks()
         flat = pc.list_flatten(parts)
         parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
-        first = np.ones(len(parent), dtype=bool)  # first fragment per doc = pre-URL text
+        n = len(parent)
+        first = np.ones(n, dtype=bool)  # first fragment per doc = pre-URL text
         first[1:] = parent[1:] != parent[:-1]
-        frag = flat.filter(pa.array(~first))
-        par = parent[~first]
+        last = np.ones(n, dtype=bool)
+        last[:-1] = parent[:-1] != parent[1:]
+        has_space = pc.greater_equal(
+            pc.find_substring(flat, " "), 0
+        ).to_numpy(zero_copy_only=False)
+        # pathological: a non-first, non-last fragment with no space —
+        # the preceding match could consume the next scheme token
+        patho_frag = ~first & ~last & ~has_space
+        patho_docs = np.unique(parent[patho_frag])
+        keep = ~first & ~np.isin(parent, patho_docs)
+        frag = flat.filter(pa.array(keep))
+        par = parent[keep]
         ext = pc.extract_regex(frag, r"^(?P<domain>[A-Za-z0-9.-]+)")
         valid = ext.is_valid()
         dom = pc.struct_field(ext, "domain").filter(valid)
         par = par[valid.to_numpy(zero_copy_only=False)]
         pairs = pa.table(
             {
-                "doc_id": t["doc_id"].take(pa.array(par)),
+                "doc_id": pa.compute.cast(t["doc_id"].take(pa.array(par)), pa.int64()),
                 "domain": dom,
             }
         )
+        if len(patho_docs):
+            import re
+
+            pat = re.compile(URL_PATTERN)
+            sel = t.take(pa.array(patho_docs))
+            ids, doms = [], []
+            for did, text in zip(sel["doc_id"].to_pylist(), sel["text"].to_pylist()):
+                for groups in pat.findall(text):
+                    ids.append(did)
+                    doms.append(groups[0])
+            pairs = pa.concat_tables(
+                [
+                    pairs,
+                    pa.table(
+                        {"doc_id": pa.array(ids, pa.int64()), "domain": pa.array(doms, pa.string())}
+                    ),
+                ]
+            )
         urls = pairs.group_by(["domain"]).aggregate([([], "count_all")])
         urls = urls.rename_columns(["domain", "n_urls_p"])
         docs = (

@@ -146,6 +146,8 @@ def main(argv=None) -> int:
             # a multi-table lake root holds namespace subdirs
             # (<schema>.<table>/part=...) instead of part= dirs directly —
             # operate on every namespace so "0/0 ok" can't mask one
+            if not os.path.isdir(lake):
+                raise SystemExit(f"lake directory does not exist: {lake}")
             targets = [lake]
             if not any(d.startswith("part=") for d in os.listdir(lake)):
                 targets = [
@@ -257,8 +259,17 @@ def main(argv=None) -> int:
                 sink=cfg.sink,
             )
             committed = sum(1 for s in summaries if not s["skipped"])
-            rows = sum(s["rows"] for s in summaries)
-            print(f"applied into {lake}: {committed}/{len(summaries)} partitions committed, {rows} rows")
+            if cfg.sink == "delta":
+                # delta commits report rows=-1 (unknown until compaction)
+                print(
+                    f"applied into {lake}: {committed}/{len(summaries)} partitions "
+                    "committed as deltas (run compact to materialize row counts)"
+                )
+            else:
+                rows = sum(s["rows"] for s in summaries)
+                print(
+                    f"applied into {lake}: {committed}/{len(summaries)} partitions committed, {rows} rows"
+                )
     finally:
         ray.shutdown()
     return 0

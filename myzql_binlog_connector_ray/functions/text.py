@@ -56,7 +56,9 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     import pyarrow.compute as pc
 
     counts = pc.cast(pc.count_substring_regex(batch[text_col], r"\S+"), pa.int64())
-    return batch.append_column("n_tokens", counts)
+    # null text counts as 0 tokens (the old pandas path's fillna(0)) —
+    # a propagated null would silently NaN-poison downstream prefix sums
+    return batch.append_column("n_tokens", pc.coalesce(counts, pa.scalar(0, pa.int64())))
 
 
 class QualityScorer:

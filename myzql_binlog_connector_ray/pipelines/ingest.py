@@ -309,6 +309,7 @@ def apply_changes(
     final_columns: Optional[list[str]] = None,
     pre_partitioned: bool = False,
     engine: str = "arrow",
+    sink: str = "rewrite",
 ) -> ray.data.Dataset:
     """Typed change rows → final lake state (or commit summaries if write=True).
 
@@ -338,9 +339,12 @@ def apply_changes(
                 write=write,
                 final_columns=final_columns or FINAL_COLUMNS,
                 final_types=REPOS_TYPED_TYPES,
+                sink_mode=sink,
             ),
             batch_format="pyarrow",
         )
+    if sink != "rewrite":
+        raise ValueError("sink='delta' requires the arrow engine")
     return ds.groupby("part").map_groups(
         partial(
             apply_partition_group,
@@ -446,6 +450,7 @@ def run_ingest(
             num_partitions=num_partitions,
             write=True,
             pre_partitioned=True,
+            sink=sink,
         )
         rows = summaries.take_all()  # small: one row per partition
     from ..logging_config import get_logger

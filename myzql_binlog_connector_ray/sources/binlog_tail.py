@@ -154,7 +154,9 @@ class BinlogTailer:
         return self.manifests
 
 
-def resume_point(out_dir: str, default_file: str = "binlog.000001") -> tuple[str, int]:
+def resume_point(
+    out_dir: str, default_file: Optional[str] = "binlog.000001"
+) -> tuple[Optional[str], int]:
     """Where a restarted tailer should re-dump from.
 
     The last segment in ``out_dir`` is complete iff its final event is
@@ -211,9 +213,14 @@ def tail_binlog_to_segments(
     ``resume=True`` restarts after the last closed segment in
     ``out_dir`` (a crashed tailer's half-written temp files are never
     visible — segments close via atomic rename). ``start_file=None``
-    auto-discovers the server's binlog head via SHOW MASTER STATUS."""
+    auto-discovers the server's binlog head via SHOW MASTER STATUS —
+    including under ``resume=True`` when ``out_dir`` is still empty
+    (defaulting to binlog.000001 there would defeat the requested
+    auto-positioning on servers whose early binlogs were purged)."""
     if resume:
-        start_file, start_position = resume_point(out_dir, start_file or "binlog.000001")
+        start_file, start_position = resume_point(out_dir, start_file)
+        if start_file is None:
+            start_position = 4  # empty out_dir + auto mode: discover in run()
     conn = MysqlConnection(host=host, port=port, user=user, password=password, use_tls=use_tls)
     tailer = BinlogTailer(
         conn=conn,

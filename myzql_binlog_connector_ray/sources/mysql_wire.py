@@ -514,7 +514,13 @@ class MysqlConnection:
                 continue
             if not rows:
                 return None
-            return rows[0][0], int(rows[0][1])
+            f, p = rows[0][0], rows[0][1]
+            if f is None or p is None:
+                return None  # binary logging effectively off / hidden
+            try:
+                return f, int(p)
+            except ValueError:
+                return None
         return None
 
     def binlog_dump(

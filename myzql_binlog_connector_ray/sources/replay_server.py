@@ -17,7 +17,7 @@ import struct
 import threading
 import zlib
 
-from ..kernel.constants import BINLOG_MAGIC, EventType
+from ..kernel.constants import BINLOG_MAGIC, EventType, segment_sort_key
 from ..kernel.event_codec import parse_event_header
 from .mysql_wire import (
     CLIENT_LONG_PASSWORD,
@@ -334,7 +334,10 @@ class ReplayServer:
     def _send_master_status(self, io: PacketIO) -> None:
         """Text result set: the first on-disk segment at position 4 (a
         replay server's 'head' is the start of its recorded stream)."""
-        files = sorted(f for f in os.listdir(self.segment_dir) if f.startswith("binlog."))
+        files = sorted(
+            (f for f in os.listdir(self.segment_dir) if f.startswith("binlog.")),
+            key=segment_sort_key,
+        )
         io.write_packet(b"\x02")  # column count
         io.write_packet(self._coldef("File"))
         io.write_packet(self._coldef("Position"))
@@ -344,8 +347,14 @@ class ReplayServer:
         io.write_packet(EOF)
 
     def _stream_binlogs(self, io: PacketIO, start_file: str) -> None:
+        start_key = segment_sort_key(start_file)
         files = sorted(
-            f for f in os.listdir(self.segment_dir) if f.startswith("binlog.") and f >= start_file
+            (
+                f
+                for f in os.listdir(self.segment_dir)
+                if f.startswith("binlog.") and segment_sort_key(f) >= start_key
+            ),
+            key=segment_sort_key,
         )
         io.write_packet(b"\x00" + fake_rotate_frame(start_file))
         for name in files:

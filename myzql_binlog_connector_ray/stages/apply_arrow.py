@@ -495,9 +495,14 @@ def apply_partition_group_arrow(
     write: bool = False,
     final_columns: Optional[list[str]] = None,
     final_types: Optional[dict] = None,
+    sink_mode: str = "rewrite",
 ) -> pa.Table:
     return ApplyPartitionArrow(
-        lake_dir=lake_dir, write=write, final_columns=final_columns, final_types=final_types
+        lake_dir=lake_dir,
+        write=write,
+        final_columns=final_columns,
+        final_types=final_types,
+        sink_mode=sink_mode,
     )(group)
 
 

@@ -98,6 +98,12 @@ def commit_delta(lake_dir: str, part: int, table, watermark: int, key_cols=None)
     pq.write_table(table, tmp, compression="zstd")
     os.replace(tmp, dest)
 
+    # NOTE: the manifest update is read-modify-write; ingest waves are
+    # serialized by the pipeline barrier, and compaction must not run
+    # concurrently with ingest of the same partition (the standard
+    # contract for manifest-file lakes without a lock service). The
+    # re-read below keeps compacted_through monotone even if a
+    # compaction finished between this function's start and its commit.
     prev = read_manifest(lake_dir, part) or {}
     manifest = {
         "partition": part,

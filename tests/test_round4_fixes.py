@@ -206,6 +206,13 @@ def test_url_extractor_vectorized_matches_findall():
         "no urls",
         "scheme only: https:// nothing, then http://c-d.net/p?q=1 end",
         "tight(https://x.io/y)paren http://x.io",
+        # pathological: scheme nested in another URL's space-free path —
+        # findall consumes it, the naive split would double-count
+        "redir https://a.com/r?u=https://b.com x",
+        # scheme abutting a domain: findall reports the extended domain
+        "glue https://a.comhttps://b.com end",
+        # chain of nested schemes
+        "https://a.com/u=https://b.com/u=https://c.com tail http://d.org",
     ]
     t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
     got = UrlExtractor()(t).to_pandas().set_index("domain").sort_index()

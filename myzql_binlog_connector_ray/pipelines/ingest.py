@@ -340,6 +340,7 @@ def apply_changes(
                 final_columns=final_columns or FINAL_COLUMNS,
                 final_types=REPOS_TYPED_TYPES,
                 sink_mode=sink,
+                compact_every=compact_every,
             ),
             batch_format="pyarrow",
         )
@@ -367,6 +368,7 @@ def run_ingest(
     max_ordinal: Optional[int] = None,
     exchange: str = "staged",
     sink: str = "rewrite",
+    compact_every: Optional[int] = None,
 ) -> list[dict]:
     """Transactional ingest: decode → upsert *into* lake_dir, exactly-once.
 
@@ -374,8 +376,11 @@ def run_ingest(
     per-partition delta files instead of folding + rewriting the base
     (bounded write amplification for small frequent batches); read the
     result via ``read_lake_state`` or fold it back to single-file
-    partitions with ``compact_lake``. The LWW fold is associative, so
-    both sinks produce the identical final state (test-pinned).
+    partitions with ``compact_lake``; ``compact_every=N`` folds a
+    partition back inline as soon as it accumulates N delta files
+    (bounded read amplification with no external job). The LWW fold is
+    associative, so all sink variants produce the identical final state
+    (test-pinned).
 
     Returns per-partition commit summaries. Re-running with the same
     (or a prefix of the same) stream is a no-op per partition thanks to
@@ -429,6 +434,7 @@ def run_ingest(
                 final_columns=FINAL_COLUMNS,
                 final_types=REPOS_TYPED_TYPES,
                 sink_mode=sink,
+                compact_every=compact_every,
             ),
             batch_format="pyarrow",
         )

@@ -132,6 +132,7 @@ class ApplyPartitionArrow:
         final_types: Optional[dict] = None,
         key_cols: Optional[list[str]] = None,
         sink_mode: str = "rewrite",
+        compact_every: Optional[int] = None,
     ):
         assert sink_mode in ("rewrite", "delta")
         self.lake_dir = lake_dir
@@ -139,6 +140,11 @@ class ApplyPartitionArrow:
         self.final_columns = final_columns
         self.final_types = final_types
         self.key_cols = key_cols or KEY_COLS
+        # delta sink: fold a partition back to a single base file as
+        # soon as it accumulates this many delta files — bounds read
+        # amplification inline (single-writer context, so the fold is
+        # safe here) without waiting for an external compaction job
+        self.compact_every = compact_every
         # "rewrite": fold changes into the base and rewrite the
         # partition file (read-optimal). "delta": append the reduced
         # change rows as a delta file and defer the fold to compaction /
@@ -210,6 +216,15 @@ class ApplyPartitionArrow:
             manifest = commit_delta(
                 self.lake_dir, part, reduced, watermark, key_cols=self.key_cols
             )
+            if self.compact_every and manifest["deltas"] >= self.compact_every:
+                c = compact_partition(
+                    self.lake_dir,
+                    part,
+                    key_cols=self.key_cols,
+                    final_columns=self.final_columns,
+                    final_types=self.final_types,
+                )
+                return self._summary(part, c["rows"], c["watermark"], False)
             return self._summary(part, manifest["rows"], manifest["watermark"], False)
 
         base = self._read_base(part)
@@ -446,6 +461,7 @@ class ApplyStagedPartition:
         final_types: Optional[dict] = None,
         key_cols: Optional[list[str]] = None,
         sink_mode: str = "rewrite",
+        compact_every: Optional[int] = None,
     ):
         self.staging_dir = staging_dir
         self.inner = ApplyPartitionArrow(
@@ -455,6 +471,7 @@ class ApplyStagedPartition:
             final_types=final_types,
             key_cols=key_cols,
             sink_mode=sink_mode,
+            compact_every=compact_every,
         )
 
     def _read_staged(self, part: int) -> Optional[pa.Table]:
@@ -557,6 +574,7 @@ def apply_staged_parts(
     final_columns: Optional[list[str]] = None,
     final_types: Optional[dict] = None,
     sink_mode: str = "rewrite",
+    compact_every: Optional[int] = None,
 ) -> pa.Table:
     """Function form for stateless-task scheduling (construction is a
     couple of attribute assignments; tasks interleave with decode)."""
@@ -567,4 +585,5 @@ def apply_staged_parts(
         final_columns=final_columns,
         final_types=final_types,
         sink_mode=sink_mode,
+        compact_every=compact_every,
     )(batch)

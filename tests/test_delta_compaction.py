@@ -204,3 +204,29 @@ def test_verify_lake_detects_tampering(ray_session, fixture_paths, tmp_path):
     compact_lake(lake2)
     rows = verify_lake(lake2)
     assert all(r["ok"] and r["detail"] == "ok" for r in rows)
+
+
+def test_delta_compact_every_inline(ray_session, fixture_paths, tmp_path):
+    """compact_every=2: after every second delta commit the partition
+    folds itself — deltas never accumulate past the threshold and the
+    final state matches a plain rewrite ingest."""
+    base = pq.read_table(fixture_paths["base_lake"])
+    segs = fixture_paths["segment_paths"]
+
+    lake = str(tmp_path / "autocompact")
+    init_lake(base, lake, 8)
+    for w in ([segs[0]], [segs[1]], [segs[2]], [segs[3]]):
+        run_ingest(w, lake, num_partitions=8, sink="delta", compact_every=2)
+        live = glob.glob(os.path.join(lake, "part=*", "delta-*.parquet"))
+        # per partition at most compact_every-1 live deltas survive
+        per_part = {}
+        for f in live:
+            per_part.setdefault(os.path.dirname(f), []).append(f)
+        assert all(len(v) < 2 for v in per_part.values()), per_part
+
+    ref = str(tmp_path / "ref")
+    init_lake(base, ref, 8)
+    run_ingest(segs, ref, num_partitions=8)
+    a = _state(read_lake_state(lake))
+    b = _state(read_lake(ref))
+    assert a.equals(b)

@@ -310,6 +310,7 @@ def apply_changes(
     pre_partitioned: bool = False,
     engine: str = "arrow",
     sink: str = "rewrite",
+    compact_every: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Typed change rows → final lake state (or commit summaries if write=True).
 
@@ -457,6 +458,7 @@ def run_ingest(
             write=True,
             pre_partitioned=True,
             sink=sink,
+            compact_every=compact_every,
         )
         rows = summaries.take_all()  # small: one row per partition
     from ..logging_config import get_logger

@@ -513,6 +513,7 @@ def apply_partition_group_arrow(
     final_columns: Optional[list[str]] = None,
     final_types: Optional[dict] = None,
     sink_mode: str = "rewrite",
+    compact_every: Optional[int] = None,
 ) -> pa.Table:
     return ApplyPartitionArrow(
         lake_dir=lake_dir,
@@ -520,6 +521,7 @@ def apply_partition_group_arrow(
         final_columns=final_columns,
         final_types=final_types,
         sink_mode=sink_mode,
+        compact_every=compact_every,
     )(group)
 
 

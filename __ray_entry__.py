@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_counters_multi": api.lake_counters_multi,
         # delta-sink ingest (three waves, no base rewrite) + fold-on-read
         "lake_upsert_lww_delta": api.lake_upsert_lww_delta,
+        # reconciliation: per-key drift between snapshot and replayed lake
+        "lake_reconcile_diff": api.lake_reconcile_diff,
         # training-data operators
         "dedup_exact": api.dedup_exact,
         "token_count_by_lang": api.token_count_by_lang,
@@ -532,6 +534,24 @@ def oracle_sql() -> dict[str, str]:
         # delta sink: three appended waves folded on read must equal the
         # rewrite sink's final state exactly (associative LWW fold)
         "lake_upsert_lww_delta": _LAKE_FINAL_SQL,
+        # reconciliation diff: snapshot (v1, doc_id%4<>0) vs replayed
+        # final state (doc_id%5<>0 at final version) — drift set only
+        "lake_reconcile_diff": f"""
+            WITH d AS ({_D}),
+            base AS (SELECT repo, path, text AS content FROM d WHERE doc_id % 4 <> 0),
+            fin AS (
+              SELECT repo, path,
+                     CASE WHEN v = 1 THEN text ELSE text || ' [v' || v || ']' END AS content
+              FROM d WHERE doc_id % 5 <> 0
+            )
+            SELECT CASE WHEN b.repo IS NULL THEN 'added'
+                        WHEN f.repo IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status,
+                   coalesce(b.repo, f.repo) AS repo,
+                   coalesce(b.path, f.path) AS path
+            FROM base b FULL OUTER JOIN fin f ON b.repo = f.repo AND b.path = f.path
+            WHERE b.repo IS NULL OR f.repo IS NULL OR b.content <> f.content
+        """,
         "lake_counters_multi": """
             SELECT CAST(doc_id AS BIGINT) AS id,
                    CAST(length(text) AS BIGINT) AS val

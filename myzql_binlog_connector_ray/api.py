@@ -260,6 +260,79 @@ def _docs_ds(sf_dir: str, columns=None):
     return _read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
+def lake_reconcile_diff(sf_dir: str, *, num_parts: int = 16, num_partitions: int = 16):
+    """Replication reconciliation / drift detection — the operational
+    check a CDC deployment runs between a source snapshot and the
+    replayed lake: a per-key full-outer compare emitting the drift set
+    (``added`` keys only in the replayed state, ``removed`` keys only
+    in the snapshot, ``changed`` keys whose content differs; unchanged
+    keys are omitted so the output is bounded by drift, not lake size).
+
+    Scale shape: both states meet in ONE key-hash co-partition exchange
+    (tagged union of (repo, path, content) triples); each partition
+    classifies every key with two vectorized ``index_in`` probes over
+    the composite key and one arrow string-equality kernel — no sort,
+    no pandas, no per-row Python."""
+    import pyarrow.compute as pc
+
+    from .functions.agg import hash_part
+
+    fx = _fixtures(sf_dir)
+    base = _read_parquet(fx["base_lake"], columns=["repo", "path", "content"])
+    final = lake_upsert_lww(sf_dir, num_partitions=num_partitions).map_batches(
+        lambda t: t.select(["repo", "path", "content"]), batch_format="pyarrow"
+    )
+
+    def tag(t: pa.Table, side: int) -> pa.Table:
+        out = pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "content": t["content"],
+                "side": pa.array(np.full(len(t), side, dtype=np.int8)),
+            }
+        )
+        part = hash_part(out, ["repo", "path"], num_parts)
+        return out.append_column("_part", pa.array(part, pa.int32()))
+
+    def _keys(t: pa.Table) -> pa.Array:
+        k = pc.binary_join_element_wise(
+            pc.cast(t["repo"], pa.binary()), pc.cast(t["path"], pa.binary()), b"\x00"
+        )
+        return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+    def diff_part(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        b = g.filter(pa.array(side == 0))
+        f = g.filter(pa.array(side == 1))
+        bk, fk = _keys(b), _keys(f)
+        pos_f = pc.index_in(fk, value_set=bk)  # final key → base row
+        pos_b = pc.index_in(bk, value_set=fk)  # base key → final row
+        added = f.filter(pc.is_null(pos_f))
+        removed = b.filter(pc.is_null(pos_b))
+        both_mask = pos_f.is_valid()
+        fb = f.filter(both_mask)
+        bmatch = b.take(pc.filter(pos_f, both_mask))
+        changed = fb.filter(pc.not_equal(fb["content"], bmatch["content"]))
+        out = []
+        for status, t in (("added", added), ("removed", removed), ("changed", changed)):
+            out.append(
+                pa.table(
+                    {
+                        "status": pa.array([status] * len(t), pa.string()),
+                        "repo": t["repo"],
+                        "path": t["path"],
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    both = base.map_batches(partial(tag, side=0), batch_format="pyarrow").union(
+        final.map_batches(partial(tag, side=1), batch_format="pyarrow")
+    )
+    return both.groupby("_part").map_groups(diff_part, batch_format="pyarrow")
+
+
 def lake_repo_stats_incremental(sf_dir: str, *, concurrency=None):
     """Incremental view maintenance over the CDC stream: per-repo
     (file count, content chars) maintained WITHOUT reading the final

@@ -107,6 +107,8 @@ SQL_CHECKED = [
     "sequence_packing_stats",
     # round 4: per-cluster survivor selection (associative argmax)
     "dedup_keep_best",
+    # round 4: snapshot-vs-replayed-lake reconciliation drift set
+    "lake_reconcile_diff",
     "ingest_exactly_once",  # double-replay lake == single-replay lake SQL
     "dedup_clusters",  # connected components vs recursive-CTE fixpoint
     "lake_repo_stats_incremental",  # IVM view == closed-form final-lake stats

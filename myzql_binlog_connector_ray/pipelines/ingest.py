@@ -50,6 +50,9 @@ TABLE_CONFIGS: dict[tuple[str, str], dict] = {
         keys=["id"],
         types={"id": pa.int64(), "val": pa.int64()},
         final_columns=["id", "val"],
+        # low-traffic side table: its own (small) partition count — the
+        # apply cost is one task per (table, partition)
+        num_partitions=8,
     ),
 }
 
@@ -519,6 +522,9 @@ def run_ingest_multi(
             target_tables=tables,
             typed_types_by_table={tt: cfgs[tt]["types"] for tt in tables},
             dedup_keys_by_table={tt: cfgs[tt]["keys"] for tt in tables},
+            num_partitions_by_table={
+                tt: cfgs[tt].get("num_partitions", num_partitions) for tt in tables
+            },
             num_partitions=num_partitions,
             staging_dir=staging_dir,
             min_ordinal=min_ordinal,

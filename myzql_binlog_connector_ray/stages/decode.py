@@ -116,6 +116,7 @@ class SegmentDecoder:
         target_tables: Optional[list[tuple[str, str]]] = None,
         typed_types_by_table: Optional[dict[tuple, dict]] = None,
         dedup_keys_by_table: Optional[dict[tuple, list[str]]] = None,
+        num_partitions_by_table: Optional[dict[tuple, int]] = None,
         from_file: Optional[str] = None,
         from_position: Optional[int] = None,
         to_file: Optional[str] = None,
@@ -139,6 +140,10 @@ class SegmentDecoder:
         self.target_tables = target_tables
         self.typed_types_by_table = typed_types_by_table or {}
         self.dedup_keys_by_table = dedup_keys_by_table or {}
+        # per-table partition counts: a quiet side table should not pay
+        # a busy table's partition fan-out (apply cost is one task per
+        # (table, partition)); falls back to the shared num_partitions
+        self.num_partitions_by_table = num_partitions_by_table or {}
         if target_tables is not None:
             self._targets = frozenset(target_tables)
         elif target_table is not None:
@@ -452,7 +457,8 @@ class SegmentDecoder:
             for i, c in enumerate(col_names[tt]):
                 cols[c] = pa.array(col_lists[i], type=types.get(c))
             table = pa.table(cols)
-            part = partition_of_cols(table, self.dedup_keys_by_table[tt], self.num_partitions)
+            n_parts = self.num_partitions_by_table.get(tt, self.num_partitions)
+            part = partition_of_cols(table, self.dedup_keys_by_table[tt], n_parts)
             table = table.append_column("part", pa.array(part, pa.int32()))
             ns = f"{tt[0]}.{tt[1]}"
             staged = self._write_staged(

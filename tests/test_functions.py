@@ -376,3 +376,55 @@ def test_dedup_cluster_strategies_agree(ray_session):
     pd.testing.assert_frame_equal(a, b)
     # every cluster is labeled by its min member
     assert (a.groupby("cluster")["doc_id"].min() == a["cluster"].sort_values().unique()).all()
+
+
+def test_tag_and_bucket_join_groups_generic(ray_session):
+    """The generic partitioned-hash-join pair (tag both sides, groupby
+    bucket, Acero join per group) — int64 fidelity and suffixing."""
+    import ray
+
+    from myzql_binlog_connector_ray.functions.relational import (
+        bucket_join_groups,
+        tag_and_bucket,
+    )
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 2], pa.int64()), "v": pa.array([10, 20, 30, 21], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 3, 9], pa.int64()), "v": pa.array([200, 300, 900], pa.int64())})
+    )
+
+    def prep(side):
+        def fn(t: pa.Table) -> pa.Table:
+            other = pa.nulls(len(t), pa.int64())
+            cols = {"k": t["k"], "v_l": t["v"] if side == "l" else other,
+                    "v_r": t["v"] if side == "r" else other}
+            return tag_and_bucket(pa.table(cols), side, "k", 4)
+        return fn
+
+    both = left.map_batches(prep("l"), batch_format="pyarrow").union(
+        right.map_batches(prep("r"), batch_format="pyarrow")
+    )
+    out = both.groupby("bucket").map_groups(
+        lambda g: bucket_join_groups(g, "k"), batch_format="pyarrow"
+    ).to_pandas()
+    got = sorted(zip(out["k"], out["v_l"], out["v_r"]))
+    # inner join on k: 2 matches twice on the left, 3 once, 1/9 dropped
+    assert got == [(2, 20, 200), (2, 21, 200), (3, 30, 300)]
+    assert all(out[c].dtype.kind == "i" for c in ("k", "v_l", "v_r"))  # no float leak
+
+
+def test_tumbling_window_agg_generic():
+    """Per-key generic tumbling aggregate (the non-associative-logic
+    fallback the vectorized events_tumbling_window documents)."""
+    import pandas as pd
+
+    from myzql_binlog_connector_ray.functions.relational import tumbling_window_agg
+
+    ts = pd.to_datetime([0, 100, 3700, 7300, 3650], unit="s").astype("datetime64[us]")
+    g = pd.DataFrame({"user_id": [7] * 5, "ts": ts, "value": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = tumbling_window_agg(g, time_col="ts", window_sec=3600, value_col="value", key_col="user_id")
+    got = {int(r.window_start): (int(r.n_events), float(r.total_value)) for r in out.itertuples()}
+    assert got == {0: (2, 3.0), 3600: (2, 8.0), 7200: (1, 4.0)}
+    assert set(out["user_id"]) == {7}

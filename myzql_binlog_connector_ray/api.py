@@ -269,18 +269,27 @@ def lake_reconcile_diff(sf_dir: str, *, num_parts: int = 16, num_partitions: int
     keys are omitted so the output is bounded by drift, not lake size).
 
     Scale shape: both states meet in ONE key-hash co-partition exchange
-    (tagged union of (repo, path, content) triples); each partition
-    classifies every key with two vectorized ``index_in`` probes over
-    the composite key and one arrow string-equality kernel — no sort,
-    no pandas, no per-row Python."""
+    shipping (repo, path, content_sha256) triples — the sha LINEAGE
+    column both states already maintain stands in for the content, so
+    the document bodies never leave their partitions (at 100 TB the
+    content-carrying variant would shuffle the whole corpus twice);
+    each partition classifies every key with two vectorized
+    ``index_in`` probes over the composite key and one arrow
+    string-equality kernel — no sort, no pandas, no per-row Python."""
     import pyarrow.compute as pc
 
     from .functions.agg import hash_part
 
     fx = _fixtures(sf_dir)
-    base = _read_parquet(fx["base_lake"], columns=["repo", "path", "content"])
+    # the partitioned base lake (not the raw snapshot parquet): it
+    # carries the stored content_sha256 lineage column
+    from .pipelines.ingest import read_lake
+
+    base = read_lake(_fresh_lake(fx, num_partitions)).map_batches(
+        lambda t: t.select(["repo", "path", "content_sha256"]), batch_format="pyarrow"
+    )
     final = lake_upsert_lww(sf_dir, num_partitions=num_partitions).map_batches(
-        lambda t: t.select(["repo", "path", "content"]), batch_format="pyarrow"
+        lambda t: t.select(["repo", "path", "content_sha256"]), batch_format="pyarrow"
     )
 
     def tag(t: pa.Table, side: int) -> pa.Table:
@@ -288,7 +297,7 @@ def lake_reconcile_diff(sf_dir: str, *, num_parts: int = 16, num_partitions: int
             {
                 "repo": t["repo"],
                 "path": t["path"],
-                "content": t["content"],
+                "content": t["content_sha256"],  # sha stands in for content
                 "side": pa.array(np.full(len(t), side, dtype=np.int8)),
             }
         )

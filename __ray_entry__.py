@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": api.dedup_exact,
         "token_count_by_lang": api.token_count_by_lang,
         "sequence_packing_stats": api.sequence_packing_stats,
+        "corpus_mixture_weights": api.corpus_mixture_weights,
         "quality_stats_by_source": api.quality_stats_by_source,
         "lang_distribution": api.lang_distribution,
         "ann_topk_bruteforce": api.ann_topk_bruteforce,
@@ -619,6 +620,27 @@ def oracle_sql() -> dict[str, str]:
                             ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY lang
+        """,
+        # temperature mixture: q ∝ p^alpha over per-lang token shares
+        "corpus_mixture_weights": """
+            WITH t AS (
+              SELECT lang,
+                     count(*) AS n_docs,
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens
+              FROM documents GROUP BY lang
+            ), s AS (
+              SELECT lang, n_docs, total_tokens,
+                     total_tokens / CAST(sum(total_tokens) OVER () AS DOUBLE) AS p
+              FROM t
+            ), w AS (
+              SELECT lang, n_docs, total_tokens, p,
+                     pow(p, 0.3) / sum(pow(p, 0.3)) OVER () AS q
+              FROM s
+            )
+            SELECT lang, n_docs, total_tokens,
+                   round(p, 6) AS p, round(q, 6) AS q, round(q / p, 6) AS boost
+            FROM w
         """,
         # sequence packing: contiguous-greedy per lang in doc_id order;
         # a doc belongs to the sequence where its prefix starts

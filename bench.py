@@ -201,6 +201,7 @@ def run_bench() -> dict:
         timed("sequence_packing_stats", api.sequence_packing_stats)
         timed("dedup_keep_best", api.dedup_keep_best)
         timed("lake_reconcile_diff", api.lake_reconcile_diff)
+        timed("corpus_mixture_weights", api.corpus_mixture_weights)
 
         # round-4 pipelines over the bench-scale fixture stream:
         from myzql_binlog_connector_ray.pipelines.ingest import compact_lake, run_ingest_multi

@@ -3625,6 +3625,51 @@ def url_domain_stats(sf_dir: str, *, concurrency=None):
     )
 
 
+def corpus_mixture_weights(sf_dir: str, *, alpha: float = 0.3):
+    """Temperature-based corpus mixture reweighting (the mT5/XLM-R
+    recipe): per-language token shares ``p`` are flattened to sampling
+    weights ``q ∝ p^alpha``, and ``boost = q/p`` is the per-language
+    up/down-sampling factor a mixing dataloader applies. Everything
+    after the grouped token count is closed-form arithmetic over
+    |langs| rows, so the DuckDB oracle recomputes it exactly (floats
+    rounded to 6).
+
+    Scale shape: ONE combiner-tree grouped aggregate over (lang) —
+    blocks collapse to ≤|langs| partial rows each — then driver-side
+    arithmetic on the |langs|-row result (bounded by the language
+    vocabulary, never the corpus)."""
+    from .functions.agg import combiner_aggregate
+
+    ds = _docs_ds(sf_dir, ["lang", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        out = token_count_batch(t)
+        return pa.table({"lang": out["lang"], "n_tokens": out["n_tokens"]})
+
+    agg = combiner_aggregate(
+        ds.map_batches(tok, batch_format="pyarrow"),
+        ["lang"],
+        [(None, "count", "n_docs"), ("n_tokens", "sum", "total_tokens")],
+        num_parts=4,
+    ).to_pandas()  # |langs| rows — bounded by the language vocabulary
+
+    agg = agg.sort_values("lang").reset_index(drop=True)
+    tot = float(agg["total_tokens"].sum())
+    p = agg["total_tokens"].to_numpy(dtype=np.float64) / tot
+    q = p**alpha
+    q = q / q.sum()
+    return pa.table(
+        {
+            "lang": pa.array(agg["lang"], pa.string()),
+            "n_docs": pa.array(agg["n_docs"].to_numpy(), pa.int64()),
+            "total_tokens": pa.array(agg["total_tokens"].to_numpy(), pa.int64()),
+            "p": pa.array(np.round(p, 6), pa.float64()),
+            "q": pa.array(np.round(q, 6), pa.float64()),
+            "boost": pa.array(np.round(q / p, 6), pa.float64()),
+        }
+    )
+
+
 def sequence_packing_stats(sf_dir: str, *, budget: int = 512, num_parts: int = 8):
     """Sequence packing for pretraining — pack documents into
     fixed-token-budget training sequences per language and report

@@ -109,6 +109,8 @@ SQL_CHECKED = [
     "dedup_keep_best",
     # round 4: snapshot-vs-replayed-lake reconciliation drift set
     "lake_reconcile_diff",
+    # round 4: temperature mixture reweighting (q ∝ p^alpha)
+    "corpus_mixture_weights",
     "ingest_exactly_once",  # double-replay lake == single-replay lake SQL
     "dedup_clusters",  # connected components vs recursive-CTE fixpoint
     "lake_repo_stats_incremental",  # IVM view == closed-form final-lake stats

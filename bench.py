@@ -32,6 +32,19 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def host_load_marker() -> dict:
+    """Contamination guard: this host swings same-code wall-times 2-4x
+    under concurrent load (BASELINE.md), so every BENCH JSON records the
+    1m/5m load average before+after the run. A reading whose load
+    markers exceed the bench's own parallelism is machine-flaggable as
+    noise, not a regression."""
+    try:
+        la1, la5, _ = os.getloadavg()
+    except OSError:
+        return {"load_1m": None, "load_5m": None, "host_cpus": os.cpu_count()}
+    return {"load_1m": round(la1, 2), "load_5m": round(la5, 2), "host_cpus": os.cpu_count()}
 REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "400"))
 NUM_SEGMENTS = int(os.environ.get("GRAFT_BENCH_SEGMENTS", "32"))
 # partitions should scale with DATA (bounded keys per apply task), not
@@ -43,6 +56,7 @@ NUM_PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "128"))
 def run_bench() -> dict:
     import ray
 
+    load_before = host_load_marker()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -246,6 +260,8 @@ def run_bench() -> dict:
         "segment_bytes": meta["segment_bytes"],
         "events_per_sec": round(meta["change_events"] / ingest_sec, 1),
         "fixture_sec": round(fixture_sec, 4),
+        "host_load_before": load_before,
+        "host_load_after": host_load_marker(),
     }
     if envelope_sec is not None:
         result["envelope_rows_per_sec"] = round(meta["change_events"] / envelope_sec, 1)
@@ -278,6 +294,7 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
     os.environ.setdefault("GRAFT_BENCH_REPLICATE", "1600")
     os.environ.setdefault("GRAFT_BENCH_SEGMENTS", "64")
+    load_before = host_load_marker()
     r_lo, r_hi = best(lo), best(hi)
     tput_lo = r_lo["events_per_sec"]
     tput_hi = r_hi["events_per_sec"]
@@ -294,6 +311,13 @@ def run_scaling() -> dict:
         "events_per_sec_hi": tput_hi,
         "change_events": r_lo["change_events"],
         "sf": SF_DIR,
+        "host_load_before": load_before,
+        "host_load_after": host_load_marker(),
+        # each child run also carries its own markers
+        "host_load_children": {
+            "lo": {k: r_lo.get(k) for k in ("host_load_before", "host_load_after")},
+            "hi": {k: r_hi.get(k) for k in ("host_load_before", "host_load_after")},
+        },
     }
 
 
@@ -308,6 +332,7 @@ def run_streaming() -> dict:
 
     import ray
 
+    load_before = host_load_marker()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -413,6 +438,8 @@ def run_streaming() -> dict:
         "segments": len(originals),
         "num_cpus": NUM_CPUS,
         "sf": SF_DIR,
+        "host_load_before": load_before,
+        "host_load_after": host_load_marker(),
     }
 
 

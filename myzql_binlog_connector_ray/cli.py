@@ -158,6 +158,7 @@ def main(argv=None) -> int:
                 if not targets:
                     raise SystemExit(f"no partitions or table namespaces under {lake}")
             failed = False
+            any_unverifiable = False
             for tgt in targets:
                 if args.mode == "compact":
                     from .pipelines.ingest import compact_lake
@@ -171,12 +172,28 @@ def main(argv=None) -> int:
 
                     rows = verify_lake(tgt)
                     bad = [r for r in rows if not r["ok"]]
+                    # delta-commit partitions carry no state digest yet
+                    # (state_sha sealed at the next compaction) — count
+                    # them separately so an all-delta lake can't read as
+                    # a vacuous "all partitions ok"
+                    unverifiable = [
+                        r for r in rows if r["ok"] and r["detail"].startswith("unverifiable")
+                    ]
                     for r in bad:
                         print(f"{tgt} part={r['part']}: {r['detail']}")
-                    print(f"verified {tgt}: {len(rows) - len(bad)}/{len(rows)} partitions ok")
+                    verified = len(rows) - len(bad) - len(unverifiable)
+                    print(
+                        f"verified {tgt}: {verified}/{len(rows)} partitions ok"
+                        + (f", {len(unverifiable)} unverifiable (compact to seal)" if unverifiable else "")
+                    )
                     failed = failed or bool(bad)
+                    any_unverifiable = any_unverifiable or bool(unverifiable)
             if failed:
                 return 1
+            if args.mode == "verify" and any_unverifiable:
+                # distinct exit code: nothing failed, but not every
+                # partition was actually digest-checked
+                return 3
         finally:
             ray.shutdown()
         return 0

@@ -24,17 +24,42 @@ import pyarrow as pa
 
 def hash_bucket(values, num_buckets: int) -> np.ndarray:
     """Value-stable bucket id from a column of any dtype — vectorized
-    (arrow → numpy, zero-copy for numerics, then one ``hash_array``
-    call). Callers joining two sides MUST cast both keys to the same
-    dtype before bucketing: ``hash_array`` hashes the bit pattern, so
-    e.g. int32 −1 and int64 −1 land in different buckets."""
+    (one canonical Arrow cast, then one ``hash_array`` call).
+
+    The key is canonicalized BEFORE hashing so two join sides bucket
+    identically even when their physical types differ: any integer /
+    boolean / temporal key casts to int64, floats to float64, and
+    everything else (strings, decimals, binary) to string — so int32 −1
+    and int64 −1, or an int column that picked up nulls (whose plain
+    ``to_numpy`` would degrade to float64/NaN), land in the same
+    bucket. Nulls hash as a fixed sentinel (they never match in a join,
+    the bucket just has to be deterministic)."""
+    import pyarrow.compute as pc
+
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
-    if isinstance(values, pa.Array):
-        values = values.to_numpy(zero_copy_only=False)
+    if not isinstance(values, pa.Array):
+        arr = np.asarray(values)
+        if arr.dtype.kind in "iub" and not pd.isna(arr).any():
+            np_vals = arr.astype(np.int64, copy=False)
+            return (pd.util.hash_array(np_vals, categorize=False) % num_buckets).astype(np.int32)
+        values = pa.array(values)
+    t = values.type
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        np_vals = pc.fill_null(pc.cast(values, pa.int64()), 0).to_numpy(zero_copy_only=False)
+    elif pa.types.is_floating(t):
+        np_vals = pc.cast(values, pa.float64()).to_numpy(zero_copy_only=False)
+    elif pa.types.is_temporal(t):
+        # date/timestamp canonicalize through timestamp[us] → int64;
+        # the odd ones (time32/time64/duration) go through string below
+        try:
+            as_ts = pc.cast(values, pa.timestamp("us"), safe=False)
+            np_vals = pc.fill_null(pc.cast(as_ts, pa.int64()), 0).to_numpy(zero_copy_only=False)
+        except pa.ArrowNotImplementedError:
+            np_vals = pc.fill_null(pc.cast(values, pa.string()), "").to_numpy(zero_copy_only=False)
     else:
-        values = np.asarray(values)
-    return (pd.util.hash_array(values, categorize=False) % num_buckets).astype(np.int32)
+        np_vals = pc.fill_null(pc.cast(values, pa.string()), "").to_numpy(zero_copy_only=False)
+    return (pd.util.hash_array(np_vals, categorize=False) % num_buckets).astype(np.int32)
 
 
 class BroadcastJoiner:

@@ -105,19 +105,23 @@ def _finalize_arrow(
 
 def _state_sha(final: pa.Table) -> str:
     """Deterministic per-partition state digest for the manifest: the
-    content sha chain when the table carries one, else a vectorized
-    fixed-key value hash over every column."""
+    content sha chain when the table carries one, else sha256 over the
+    Arrow IPC stream bytes of the schema-ordered, metadata-stripped,
+    single-chunk table. The IPC encoding is a specified public format,
+    so the committed digest is not coupled to pandas/numpy hashing or
+    dtype-conversion behavior (round-4 ADVICE: a library upgrade must
+    not make verify_lake flag healthy partitions)."""
     if "content_sha256" in final.column_names:
         sha_col = pc.fill_null(final["content_sha256"], "").to_pylist()
         return hashlib.sha256("\n".join(sha_col).encode()).hexdigest()
-    import numpy as np
-    import pandas as pd
+    import pyarrow.ipc as ipc
 
-    h = np.zeros(final.num_rows, dtype=np.uint64)
-    for c in final.column_names:
-        col = final[c].to_numpy(zero_copy_only=False)
-        h = h * np.uint64(1000003) + pd.util.hash_array(col, categorize=False)
-    return hashlib.sha256(h.tobytes()).hexdigest()
+    t = final.select(sorted(final.column_names)).combine_chunks()
+    t = t.replace_schema_metadata(None)
+    sink = pa.BufferOutputStream()
+    with ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return hashlib.sha256(sink.getvalue().to_pybytes()).hexdigest()
 
 
 class ApplyPartitionArrow:
@@ -194,16 +198,30 @@ class ApplyPartitionArrow:
         part = int(group["part"][0].as_py())
         watermark = int(pc.max(group["ordinal"]).as_py())
 
-        if self.write:
-            manifest = read_manifest(self.lake_dir, part)
-            if manifest is not None:
-                if manifest["watermark"] >= watermark:
-                    return self._summary(part, manifest["rows"], manifest["watermark"], True)
-                group = group.filter(pc.greater(group["ordinal"], manifest["watermark"]))
-                if group.num_rows == 0:
-                    return self._summary(part, manifest["rows"], manifest["watermark"], True)
+        if not self.write:
+            base = self._read_base(part)
+            return _finalize_arrow(
+                lww_fold_arrow(base, group, self.key_cols), self.final_columns, self.final_types
+            )
+        # the whole read-fold-commit section holds the partition lease:
+        # a compaction (or another writer) racing this wave on the same
+        # partition serializes instead of interleaving between the
+        # manifest read and the atomic replace
+        from ..state.manifest import partition_lease
 
-        if self.write and self.sink_mode == "delta":
+        with partition_lease(self.lake_dir, part):
+            return self._apply_leased(group, part, watermark)
+
+    def _apply_leased(self, group: pa.Table, part: int, watermark: int) -> pa.Table:
+        manifest = read_manifest(self.lake_dir, part)
+        if manifest is not None:
+            if manifest["watermark"] >= watermark:
+                return self._summary(part, manifest["rows"], manifest["watermark"], True)
+            group = group.filter(pc.greater(group["ordinal"], manifest["watermark"]))
+            if group.num_rows == 0:
+                return self._summary(part, manifest["rows"], manifest["watermark"], True)
+
+        if self.sink_mode == "delta":
             # append-only sink: LWW-reduce this batch per key (still
             # carrying ordinal/event_row_index/dml) and commit it as one
             # delta file — no base read, no rewrite
@@ -231,17 +249,39 @@ class ApplyPartitionArrow:
         final = _finalize_arrow(
             lww_fold_arrow(base, group, self.key_cols), self.final_columns, self.final_types
         )
-
-        if not self.write:
-            return final
-
         final = final.take(
             pc.sort_indices(final, sort_keys=[(k, "ascending") for k in self.key_cols])
         )
         manifest = commit_partition(
             self.lake_dir, part, final, watermark, _state_sha(final), key_cols=self.key_cols
         )
+        # a rewrite over a delta-mode history folded the live delta
+        # files into the new base (_read_base); they are now ≤
+        # compacted_through, i.e. stale. Unlink them with the same
+        # crash-safe ordering as compact_partition (commit first, then
+        # cleanup) — otherwise read_lake() over this "plain rewrite"
+        # lake would still scan them and return duplicate keys
+        # (round-4 ADVICE, medium).
+        _unlink_stale_deltas(self.lake_dir, part, int(manifest["compacted_through"]))
         return self._summary(part, manifest["rows"], manifest["watermark"], False)
+
+
+def _unlink_stale_deltas(lake_dir: str, part: int, compacted_through: int) -> None:
+    """Remove delta files already folded into the committed base
+    (watermark ≤ compacted_through). Always safe AFTER a successful
+    commit_partition: a crash mid-cleanup only leaves stale files,
+    which list_delta_files ignores and the next pass removes."""
+    import glob
+    import os
+
+    from ..state.manifest import delta_watermark_of, partition_dir
+
+    for f in glob.glob(os.path.join(partition_dir(lake_dir, part), "delta-*.parquet")):
+        if delta_watermark_of(f) <= compacted_through:
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
 
 
 def compact_partition(
@@ -266,6 +306,23 @@ def compact_partition(
     compaction runs correctly on any lake — including non-repos
     namespaces — without a table config (the CLI ``compact`` mode).
     """
+    from ..state.manifest import partition_lease
+
+    with partition_lease(lake_dir, part):
+        return _compact_partition_leased(
+            lake_dir, part, key_cols=key_cols, final_columns=final_columns,
+            final_types=final_types,
+        )
+
+
+def _compact_partition_leased(
+    lake_dir: str,
+    part: int,
+    *,
+    key_cols: Optional[list[str]] = None,
+    final_columns: Optional[list[str]] = None,
+    final_types: Optional[dict] = None,
+) -> dict:
     import glob
     import os
 

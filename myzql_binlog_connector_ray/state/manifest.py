@@ -23,8 +23,63 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
+from contextlib import contextmanager
 from typing import Optional
+
+# thread-local set of leases this thread already holds — the delta
+# sink's inline compaction (compact_every) re-enters the same
+# partition's lease, and flock would otherwise self-deadlock between
+# two fds of one file
+_HELD = threading.local()
+
+
+def _lease_path(lake_dir: str, part: int) -> str:
+    return os.path.join(lake_dir, "_manifests", f"part-{part:04d}.lock")
+
+
+@contextmanager
+def partition_lease(lake_dir: str, part: int):
+    """Per-partition writer mutual exclusion: ingest apply, delta
+    commit, and compaction each hold the lease for their whole
+    read-fold-commit critical section, so a compaction racing an ingest
+    wave on the same partition serializes instead of losing deltas
+    between the manifest read and ``os.replace`` (round-4 ADVICE).
+
+    Mechanism: ``flock`` on a per-partition lock file — advisory,
+    blocking, and released by the kernel if the holder dies (no stale
+    lock files to reap). Reentrant per thread. Scope: every writer
+    sharing the lake filesystem (all Ray workers on one node, or a
+    shared FS whose flock is coherent, e.g. NFSv4); a multi-node
+    object-store deployment would swap this for a manifest CAS /
+    lease-service implementation behind the same context manager."""
+    import fcntl
+
+    key = (os.path.abspath(lake_dir), int(part))
+    held = getattr(_HELD, "keys", None)
+    if held is None:
+        held = _HELD.keys = {}
+    if key in held:
+        held[key] += 1
+        try:
+            yield
+        finally:
+            held[key] -= 1
+            if not held[key]:
+                del held[key]
+        return
+    os.makedirs(os.path.join(lake_dir, "_manifests"), exist_ok=True)
+    fd = os.open(_lease_path(lake_dir, part), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        held[key] = 1
+        try:
+            yield
+        finally:
+            del held[key]
+    finally:
+        os.close(fd)  # close releases the flock
 
 
 def partition_dir(lake_dir: str, part: int) -> str:
@@ -93,36 +148,35 @@ def commit_delta(lake_dir: str, part: int, table, watermark: int, key_cols=None)
     os.makedirs(pdir, exist_ok=True)
     os.makedirs(os.path.join(lake_dir, "_manifests"), exist_ok=True)
 
-    dest = delta_path(lake_dir, part, watermark)
-    tmp = dest + f".tmp-{uuid.uuid4().hex}"
-    pq.write_table(table, tmp, compression="zstd")
-    os.replace(tmp, dest)
+    # the delta file + manifest RMW run under the partition lease, so a
+    # compaction committing in between can no longer be overwritten
+    # with a stale compacted_through (round-4 ADVICE: the single-writer
+    # contract is now enforced, not just stated)
+    with partition_lease(lake_dir, part):
+        dest = delta_path(lake_dir, part, watermark)
+        tmp = dest + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, dest)
 
-    # NOTE: the manifest update is read-modify-write; ingest waves are
-    # serialized by the pipeline barrier, and compaction must not run
-    # concurrently with ingest of the same partition (the standard
-    # contract for manifest-file lakes without a lock service). The
-    # re-read below keeps compacted_through monotone even if a
-    # compaction finished between this function's start and its commit.
-    prev = read_manifest(lake_dir, part) or {}
-    manifest = {
-        "partition": part,
-        "watermark": int(watermark),
-        "rows": -1,
-        "state_sha256": "",
-        "deltas": int(prev.get("deltas", 0)) + 1,
-        "compacted_through": int(prev.get("compacted_through", -1)),
-        # authoritative per-partition key columns: compaction (which may
-        # run without any table config, e.g. the CLI compact mode)
-        # folds by these
-        "key_cols": list(key_cols) if key_cols else prev.get("key_cols"),
-    }
-    mpath = manifest_path(lake_dir, part)
-    mtmp = mpath + f".tmp-{uuid.uuid4().hex}"
-    with open(mtmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(mtmp, mpath)
-    return manifest
+        prev = read_manifest(lake_dir, part) or {}
+        manifest = {
+            "partition": part,
+            "watermark": max(int(watermark), int(prev.get("watermark", -1))),
+            "rows": -1,
+            "state_sha256": "",
+            "deltas": int(prev.get("deltas", 0)) + 1,
+            "compacted_through": int(prev.get("compacted_through", -1)),
+            # authoritative per-partition key columns: compaction (which may
+            # run without any table config, e.g. the CLI compact mode)
+            # folds by these
+            "key_cols": list(key_cols) if key_cols else prev.get("key_cols"),
+        }
+        mpath = manifest_path(lake_dir, part)
+        mtmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mtmp, mpath)
+        return manifest
 
 
 def commit_partition(
@@ -140,24 +194,25 @@ def commit_partition(
     os.makedirs(pdir, exist_ok=True)
     os.makedirs(os.path.join(lake_dir, "_manifests"), exist_ok=True)
 
-    tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}.parquet")
-    pq.write_table(table, tmp, compression="zstd")
-    os.replace(tmp, os.path.join(pdir, "data.parquet"))
+    with partition_lease(lake_dir, part):
+        tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(pdir, "data.parquet"))
 
-    manifest = {
-        "partition": part,
-        "watermark": int(watermark),
-        "rows": table.num_rows,
-        "state_sha256": state_sha256,
-        "deltas": 0,
-        # everything ≤ watermark is folded into the base, so any delta
-        # file at or below it is stale (see list_delta_files)
-        "compacted_through": int(watermark),
-        "key_cols": list(key_cols) if key_cols else None,
-    }
-    mpath = manifest_path(lake_dir, part)
-    mtmp = mpath + f".tmp-{uuid.uuid4().hex}"
-    with open(mtmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(mtmp, mpath)
-    return manifest
+        manifest = {
+            "partition": part,
+            "watermark": int(watermark),
+            "rows": table.num_rows,
+            "state_sha256": state_sha256,
+            "deltas": 0,
+            # everything ≤ watermark is folded into the base, so any delta
+            # file at or below it is stale (see list_delta_files)
+            "compacted_through": int(watermark),
+            "key_cols": list(key_cols) if key_cols else None,
+        }
+        mpath = manifest_path(lake_dir, part)
+        mtmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mtmp, mpath)
+        return manifest

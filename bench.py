@@ -349,7 +349,6 @@ def run_streaming() -> dict:
         materialize,
     )
     from myzql_binlog_connector_ray.logging_config import quiet_empty_partition_warnings
-    from myzql_binlog_connector_ray.pipelines.ingest import run_ingest
     from myzql_binlog_connector_ray.sources.binlog_tail import tail_binlog_to_segments
     from myzql_binlog_connector_ray.sources.replay_server import ReplayServer
 
@@ -357,7 +356,12 @@ def run_streaming() -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     replicate = int(os.environ.get("GRAFT_STREAM_REPLICATE", "100"))
-    n_segments = int(os.environ.get("GRAFT_STREAM_SEGMENTS", "16"))
+    # 32 segments (vs the batch bench's coarser 16): segment close is
+    # the streaming pipeline's overlap granularity — the last segment's
+    # decode can only start at tail end, so its size bounds the
+    # non-overlappable tail-after work (a real deployment picks the
+    # binlog max_size the same way)
+    n_segments = int(os.environ.get("GRAFT_STREAM_SEGMENTS", "32"))
     n_parts = int(os.environ.get("GRAFT_STREAM_PARTITIONS", "64"))
     fx = materialize(SF_DIR, api.WORK_DIR, num_segments=n_segments, rows_per_event=200, replicate=replicate)
     n_events = sum(len(t["rows"]) for t in build_transactions(load_docs(SF_DIR, replicate), 200))
@@ -368,7 +372,6 @@ def run_streaming() -> dict:
     shutil.copytree(lake_src, lake_dir)
     out_dir = os.path.join(fx["root"], f"stream_segments_{NUM_CPUS}")
     shutil.rmtree(out_dir, ignore_errors=True)
-    concurrency = max(2, (NUM_CPUS * 3) // 4)
     originals = {os.path.basename(p) for p in fx["segment_paths"]}
 
     def closed() -> list[str]:
@@ -380,49 +383,62 @@ def run_streaming() -> dict:
             if f.startswith("binlog.") and f in originals
         )
 
-    with ReplayServer(os.path.dirname(fx["segment_paths"][0])) as srv:
+    from myzql_binlog_connector_ray.pipelines.streaming import StreamingIngestor
+
+    del ReplayServer  # the in-process rig would share the tailer's GIL
+    # replay server OUT of process: the serial tailer must not compete
+    # with the rig it measures for one interpreter lock
+    srv_proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "myzql_binlog_connector_ray.sources.replay_server",
+            os.path.dirname(fx["segment_paths"][0]),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    port = int(srv_proc.stdout.readline().split()[1])
+    try:
         t0 = _time.perf_counter()
         tail_sec = [None]
 
         def _tail():
             # start_file=None → SHOW MASTER STATUS auto-positioning
             tail_binlog_to_segments(
-                out_dir, port=srv.port, user="repl", password="secret", start_file=None
+                out_dir, port=port, user="repl", password="secret", start_file=None
             )
             tail_sec[0] = _time.perf_counter() - t0
 
         th = threading.Thread(target=_tail)
         th.start()
         consumed: set[str] = set()
-        ingest_busy = 0.0
-        # incremental waves commit as DELTAS by default (no per-wave
-        # base rewrite — the streaming write-amplification shape; at
-        # this fixture scale the base partitions are small enough that
-        # rewrite measures within host noise of delta, see BASELINE.md),
-        # then one compaction folds the lake back to read-optimal
-        # single-file partitions; both are inside the timed window.
+        # pipelined incremental ingest (pipelines.streaming): each
+        # closed segment's decode+stage task launches immediately and
+        # overlaps the tail; apply waves cover contiguous staged
+        # prefixes as raw per-partition tasks — no per-wave Dataset-job
+        # floor (round-4's 102 k ev/s bottleneck). Deltas by default;
+        # the final compaction (inside drain) is in the timed window.
         sink = os.environ.get("GRAFT_STREAM_SINK", "delta")
+        ing = StreamingIngestor(lake_dir, num_partitions=n_parts, sink=sink)
         while True:
             new = [p for p in closed() if p not in consumed]
-            if new:
-                ti = _time.perf_counter()
-                run_ingest(
-                    new, lake_dir, num_partitions=n_parts, concurrency=concurrency, sink=sink
-                )
-                ingest_busy += _time.perf_counter() - ti
-                consumed.update(new)
-            elif not th.is_alive():
+            for p in new:
+                ing.submit(p)
+                consumed.add(p)
+            ing.poll()
+            if not new and not th.is_alive():
                 break
-            else:
-                _time.sleep(0.05)
+            _time.sleep(0.02)
         th.join()
-        from myzql_binlog_connector_ray.pipelines.ingest import compact_lake
-
         ti = _time.perf_counter()
-        if sink == "delta":
-            compact_lake(lake_dir)
-        compact_sec = _time.perf_counter() - ti
+        ing.drain()  # blocks: staged + applied + (delta) compacted
+        drain_sec = _time.perf_counter() - ti
         e2e_sec = _time.perf_counter() - t0
+    finally:
+        srv_proc.terminate()
+        srv_proc.wait(timeout=10)
     assert {os.path.basename(p) for p in consumed} == originals, "stream incomplete"
     ray.shutdown()
     return {
@@ -431,8 +447,8 @@ def run_streaming() -> dict:
         "unit": "events/sec",
         "e2e_sec": round(e2e_sec, 4),
         "tail_sec": round(tail_sec[0], 4) if tail_sec[0] else None,
-        "ingest_busy_sec": round(ingest_busy, 4),
-        "compaction_sec": round(compact_sec, 4),
+        "drain_sec": round(drain_sec, 4),
+        "pipelined": True,
         "sink": sink,
         "change_events": n_events,
         "segments": len(originals),

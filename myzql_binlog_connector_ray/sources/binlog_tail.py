@@ -43,6 +43,10 @@ class BinlogTailer:
     stop_position: Optional[int] = None
     server_id: int = 1
     non_block: bool = True  # NON_BLOCK → server sends EOF at stream end
+    #: GTID auto-positioning: dump everything NOT in this set
+    #: (COM_BINLOG_DUMP_GTID) instead of a file/pos dump — the segment
+    #: to write into comes from the server's fake ROTATE
+    gtid_set: Optional[object] = None
     manifests: list[SegmentManifest] = field(default_factory=list)
 
     # -- segment file lifecycle -------------------------------------
@@ -51,7 +55,8 @@ class BinlogTailer:
         os.makedirs(self.out_dir, exist_ok=True)
         self._seg_name = name
         self._seg_tmp = os.path.join(self.out_dir, f".{name}.tmp-{uuid.uuid4().hex}")
-        self._seg_file = open(self._seg_tmp, "wb")
+        # 1 MB userspace buffer: one write syscall per ~2000 events
+        self._seg_file = open(self._seg_tmp, "wb", buffering=1 << 20)
         self._seg_file.write(BINLOG_MAGIC)
         self._seg_events = 0
 
@@ -107,30 +112,48 @@ class BinlogTailer:
             conn.query("SET @master_binlog_checksum='CRC32'")
         except Exception:
             pass
-        if self.start_file is None:
-            # auto-positioning: ask the server where its binlog head is
-            # (SHOW MASTER STATUS text result set) instead of requiring
-            # a hand-supplied from_binlog_file/position
-            status = conn.master_status()
-            if status is None:
-                raise RuntimeError(
-                    "binlog auto-positioning failed: server reports no binary log "
-                    "(supply start_file/start_position explicitly)"
-                )
-            self.start_file, self.start_position = status[0], max(4, status[1])
-        conn.binlog_dump(
-            self.start_file, self.start_position, server_id=self.server_id, non_block=self.non_block
-        )
-        self._open_segment(self.start_file)
+        if self.gtid_set is not None:
+            # GTID auto-positioning: no file/pos needed; the server's
+            # stream-start fake ROTATE names the first segment. The
+            # placeholder segment below never commits (0 events before
+            # the fake ROTATE switches it).
+            conn.binlog_dump_gtid(
+                self.gtid_set, server_id=self.server_id, non_block=self.non_block
+            )
+            self._open_segment(".gtid-pending")
+        else:
+            if self.start_file is None:
+                # auto-positioning: ask the server where its binlog head is
+                # (SHOW MASTER STATUS text result set) instead of requiring
+                # a hand-supplied from_binlog_file/position
+                status = conn.master_status()
+                if status is None:
+                    raise RuntimeError(
+                        "binlog auto-positioning failed: server reports no binary log "
+                        "(supply start_file/start_position explicitly)"
+                    )
+                self.start_file, self.start_position = status[0], max(4, status[1])
+            conn.binlog_dump(
+                self.start_file, self.start_position, server_id=self.server_id, non_block=self.non_block
+            )
+            self._open_segment(self.start_file)
+        # hot-loop locals: the stream is hundreds of thousands of small
+        # frames; only the fields a frame's type actually needs are
+        # decoded (full header parse costs 2 struct unpacks per event —
+        # measured ~25% of the tail wall-time)
+        HEARTBEAT = EventType.HEARTBEAT_EVENT
+        ROTATE = EventType.ROTATE_EVENT
+        track_pos = self.stop_file is not None or self.stop_position is not None
         try:
             for frame in conn.iter_event_frames():
-                event_type, timestamp, _sid, _size, log_pos, _flags = parse_event_header(frame)
-                if event_type == EventType.HEARTBEAT_EVENT:
+                event_type = frame[4]
+                if event_type == HEARTBEAT:
                     # server-generated keepalive on an idle blocking dump —
                     # never part of an on-disk binlog file, so writing it
                     # would make segments diverge from the server's files
                     continue
-                if event_type == EventType.ROTATE_EVENT:
+                if event_type == ROTATE:
+                    timestamp = int.from_bytes(frame[0:4], "little")
                     next_file, _next_pos = parse_rotate(frame[19:-4])
                     if timestamp == 0:
                         # fake ROTATE at stream start: names the current
@@ -147,11 +170,58 @@ class BinlogTailer:
                     continue
                 self._seg_file.write(frame)
                 self._seg_events += 1
-                if self._should_stop(log_pos):
-                    break
+                if track_pos:
+                    log_pos = int.from_bytes(frame[13:17], "little")
+                    if self._should_stop(log_pos):
+                        break
         finally:
             self._close_segment()
         return self.manifests
+
+
+def gtid_executed_of_segments(out_dir: str):
+    """The GTID set a restarted tailer should declare as executed.
+
+    Scans the CLOSED segments' GTID events (flags(1)+SID(16)+GNO(8) —
+    the payload the reference enumerates, src/event_parser.zig:74-76).
+    A partial trailing segment (one not ending in ROTATE) is excluded
+    whole, mirroring ``resume_point``'s re-dump-the-file semantics: the
+    server then resends that entire file and the atomic rename
+    overwrites the partial copy byte-identically. At deployment scale
+    the tailer would persist this set incrementally instead of
+    rescanning (segments are bounded by binlog max_size, so the scan is
+    cheap; noted for completeness)."""
+    import struct as _struct
+
+    from ..kernel.gtid import GtidSet
+
+    gset = GtidSet()
+    try:
+        segs = sorted(
+            (f for f in os.listdir(out_dir) if f.startswith("binlog.")), key=segment_sort_key
+        )
+    except FileNotFoundError:
+        return gset
+    for i, name in enumerate(segs):
+        with open(os.path.join(out_dir, name), "rb") as f:
+            blob = f.read()
+        pos = 4 if blob[:4] == BINLOG_MAGIC else 0
+        gtids, last_type = [], None
+        while pos + 19 <= len(blob):
+            et, _ts, _sid, size, _lp, _fl = parse_event_header(blob, pos)
+            if size < 19 or pos + size > len(blob):
+                break
+            if et == EventType.GTID_EVENT:
+                gtids.append(
+                    (bytes(blob[pos + 20 : pos + 36]), _struct.unpack_from("<q", blob, pos + 36)[0])
+                )
+            last_type = et
+            pos += size
+        if i == len(segs) - 1 and last_type != EventType.ROTATE_EVENT:
+            break  # partial trailing file: re-dump it whole
+        for sid, gno in gtids:
+            gset.add(sid, gno)
+    return gset
 
 
 def resume_point(
@@ -207,6 +277,7 @@ def tail_binlog_to_segments(
     stop_position: Optional[int] = None,
     server_id: int = 1,
     resume: bool = False,
+    resume_gtid: bool = False,
 ) -> list[SegmentManifest]:
     """Connect, dump, tail into ``out_dir``; returns segment manifests.
     The written segments feed ``pipelines.ingest.read_segments``.
@@ -216,8 +287,15 @@ def tail_binlog_to_segments(
     auto-discovers the server's binlog head via SHOW MASTER STATUS —
     including under ``resume=True`` when ``out_dir`` is still empty
     (defaulting to binlog.000001 there would defeat the requested
-    auto-positioning on servers whose early binlogs were purged)."""
-    if resume:
+    auto-positioning on servers whose early binlogs were purged).
+    ``resume_gtid=True`` positions by GTID set instead of file/pos:
+    the closed segments' executed set is declared to the server
+    (COM_BINLOG_DUMP_GTID), which resumes at the first missing
+    transaction — file names need not match across a failover."""
+    gtid_set = None
+    if resume_gtid:
+        gtid_set = gtid_executed_of_segments(out_dir)
+    elif resume:
         start_file, start_position = resume_point(out_dir, start_file)
         if start_file is None:
             start_position = 4  # empty out_dir + auto mode: discover in run()
@@ -230,6 +308,7 @@ def tail_binlog_to_segments(
         stop_file=stop_file,
         stop_position=stop_position,
         server_id=server_id,
+        gtid_set=gtid_set,
     )
     try:
         return tailer.run()

@@ -40,7 +40,9 @@ CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA = 0x200000
 COM_QUERY = 0x03
 COM_PING = 0x0E
 COM_BINLOG_DUMP = 0x12
+COM_BINLOG_DUMP_GTID = 0x1E
 BINLOG_DUMP_NON_BLOCK = 0x01
+BINLOG_THROUGH_GTID = 0x04
 
 MAX_PACKET = 0xFFFFFF
 
@@ -58,20 +60,41 @@ class MysqlError(Exception):
 
 
 class PacketIO:
-    """Length-prefixed MySQL packet reader/writer over a socket."""
+    """Length-prefixed MySQL packet reader/writer over a socket.
+
+    Reads are buffered: the binlog stream delivers hundreds of
+    thousands of small packets, and two recv() syscalls per event (4B
+    header + payload) was the tailer's throughput ceiling — one big
+    recv per ~256 KB amortizes the syscall + GIL round across ~1000
+    events. Safe across protocol phase switches (auth, TLS upgrade):
+    MySQL is strictly request/response outside the dump stream, so the
+    buffer is empty whenever the transport changes hands."""
+
+    RECV_CHUNK = 1 << 18
 
     def __init__(self, sock: socket.socket):
         self.sock = sock
         self.seq = 0
+        self._buf = bytearray()
+        self._pos = 0
 
     def _read_exact(self, n: int) -> bytes:
-        buf = bytearray()
-        while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
+        buf = self._buf
+        while len(buf) - self._pos < n:
+            if self._pos:
+                del buf[: self._pos]
+                self._pos = 0
+            chunk = self.sock.recv(self.RECV_CHUNK)
             if not chunk:
                 raise ConnectionError("server closed connection mid-packet")
             buf.extend(chunk)
-        return bytes(buf)
+        pos = self._pos
+        out = bytes(buf[pos : pos + n])
+        self._pos = pos + n
+        if self._pos >= (1 << 20):  # bound the dead prefix
+            del buf[: self._pos]
+            self._pos = 0
+        return out
 
     def read_packet(self) -> bytes:
         """One logical packet (reassembles 16 MB continuations)."""
@@ -83,6 +106,74 @@ class PacketIO:
             payload.extend(self._read_exact(length))
             if length < MAX_PACKET:
                 return bytes(payload)
+
+    def iter_packets(self):
+        """Generator over logical packet payloads with per-packet
+        overhead folded into one tight loop (the dump stream is
+        hundreds of thousands of small packets; read_packet's two
+        function calls per event were measurable). Continuation
+        (16 MB) packets are reassembled inline."""
+        buf = self._buf
+        pos = self._pos
+        recv = self.sock.recv
+        chunk_sz = self.RECV_CHUNK
+        frag: list[bytes] = []
+        while True:
+            while len(buf) - pos < 4:
+                if pos:
+                    del buf[:pos]
+                    pos = 0
+                chunk = recv(chunk_sz)
+                if not chunk:
+                    raise ConnectionError("server closed connection mid-packet")
+                buf.extend(chunk)
+            length = buf[pos] | (buf[pos + 1] << 8) | (buf[pos + 2] << 16)
+            self.seq = (buf[pos + 3] + 1) & 0xFF
+            end = pos + 4 + length
+            while len(buf) < end:
+                if pos:
+                    del buf[:pos]
+                    end -= pos
+                    pos = 0
+                chunk = recv(chunk_sz)
+                if not chunk:
+                    raise ConnectionError("server closed connection mid-packet")
+                buf.extend(chunk)
+            payload = bytes(buf[pos + 4 : end])
+            pos = end
+            if pos >= (1 << 20):
+                del buf[:pos]
+                pos = 0
+            if length == MAX_PACKET:  # continuation follows
+                frag.append(payload)
+                continue
+            if frag:
+                frag.append(payload)
+                payload = b"".join(frag)
+                frag = []
+            self._pos = pos
+            yield payload
+
+    def write_packets_bulk(self, payloads, flush_bytes: int = 1 << 18) -> None:
+        """Send many small packets with one sendall per ~flush_bytes —
+        the server side of the dump stream's syscall amortization."""
+        out = bytearray()
+        for p in payloads:
+            if len(p) >= MAX_PACKET:  # rare giant event: the slow path
+                if out:
+                    self.sock.sendall(out)
+                    out = bytearray()
+                self.write_packet(p)
+                continue
+            out += struct.pack("<I", len(p))[:3]
+            out.append(self.seq)
+            self.seq = (self.seq + 1) & 0xFF
+            out += p
+            if len(out) >= flush_bytes:
+                self.sock.sendall(out)
+                out = bytearray()
+        if out:
+            self.sock.sendall(out)
 
     def write_packet(self, payload: bytes, reset_seq: bool = False) -> None:
         if reset_seq:
@@ -536,12 +627,42 @@ class MysqlConnection:
         )
         self.io.write_packet(payload, reset_seq=True)
 
+    def gtid_executed(self):
+        """``SELECT @@gtid_executed`` → GtidSet (empty when GTIDs are
+        off). The text result-set path the round-4 build added is what
+        makes this and GTID auto-positioning possible."""
+        from ..kernel.gtid import GtidSet
+
+        _, rows = self.query_rows("SELECT @@gtid_executed")
+        if not rows or not rows[0] or rows[0][0] is None:
+            return GtidSet()
+        return GtidSet.from_text(rows[0][0])
+
+    def binlog_dump_gtid(self, gtid_set, server_id: int = 1, non_block: bool = False) -> None:
+        """COM_BINLOG_DUMP_GTID: request the replication stream for
+        every transaction NOT in ``gtid_set`` (auto-positioning — no
+        file/pos needed, survives failover to a server with different
+        binlog file names). Wire layout (public format): flags(2) +
+        server_id(4) + name_len(4)+name + pos(8) + data_len(4) +
+        binary GTID set."""
+        assert self.io is not None, "not connected"
+        flags = BINLOG_THROUGH_GTID | (BINLOG_DUMP_NON_BLOCK if non_block else 0)
+        data = gtid_set.to_binary()
+        payload = (
+            bytes([COM_BINLOG_DUMP_GTID])
+            + struct.pack("<HI", flags, server_id)
+            + struct.pack("<I", 0)  # empty binlog name: position by GTID only
+            + struct.pack("<Q", 4)
+            + struct.pack("<I", len(data))
+            + data
+        )
+        self.io.write_packet(payload, reset_seq=True)
+
     def iter_event_frames(self) -> Iterator[bytes]:
         """Raw binlog event frames (19-byte header + payload + CRC) from
         the post-dump stream; stops at EOF, raises on ERR."""
         assert self.io is not None, "not connected"
-        while True:
-            payload = self.io.read_packet()
+        for payload in self.io.iter_packets():
             if not payload:
                 return
             marker = payload[0]

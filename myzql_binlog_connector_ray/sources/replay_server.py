@@ -294,6 +294,8 @@ class ReplayServer:
         self._command_loop(io)
 
     def _command_loop(self, io: PacketIO) -> None:
+        from .mysql_wire import COM_BINLOG_DUMP_GTID
+
         while True:
             try:
                 cmd = io.read_packet()
@@ -305,6 +307,8 @@ class ReplayServer:
                 sql = cmd[1:].decode("utf-8", "replace").strip().upper()
                 if sql in ("SHOW MASTER STATUS", "SHOW BINARY LOG STATUS"):
                     self._send_master_status(io)
+                elif sql == "SELECT @@GTID_EXECUTED":
+                    self._send_gtid_executed(io)
                 else:
                     io.write_packet(OK)
             elif cmd[0] == COM_PING:
@@ -313,6 +317,17 @@ class ReplayServer:
                 _pos, _flags, _sid = struct.unpack_from("<IHI", cmd, 1)
                 start_file = cmd[11:].decode()
                 self._stream_binlogs(io, start_file)
+                return
+            elif cmd[0] == COM_BINLOG_DUMP_GTID:
+                # flags(2) + server_id(4) + name_len(4)+name + pos(8) +
+                # data_len(4) + binary GTID set
+                from ..kernel.gtid import GtidSet
+
+                name_len = struct.unpack_from("<I", cmd, 7)[0]
+                p = 11 + name_len + 8
+                dlen = struct.unpack_from("<I", cmd, p)[0]
+                gset = GtidSet.from_binary(bytes(cmd[p + 4 : p + 4 + dlen]))
+                self._stream_binlogs_gtid(io, gset)
                 return
             else:
                 io.write_packet(_err(1047, f"unknown command {cmd[0]}"))
@@ -346,6 +361,91 @@ class ReplayServer:
             io.write_packet(self._lenc(files[0].encode()) + self._lenc(b"4"))
         io.write_packet(EOF)
 
+    def _segment_files(self) -> list[str]:
+        return sorted(
+            (f for f in os.listdir(self.segment_dir) if f.startswith("binlog.")),
+            key=segment_sort_key,
+        )
+
+    def _file_gtids(self, name: str):
+        """(sid_bytes, gno) of every GTID event in one segment file."""
+        with open(os.path.join(self.segment_dir, name), "rb") as f:
+            blob = f.read()
+        out = []
+        for frame in iter_raw_frames(blob):
+            if frame[4] == EventType.GTID_EVENT:
+                out.append((bytes(frame[20:36]), struct.unpack_from("<q", frame, 36)[0]))
+        return out
+
+    def _send_gtid_executed(self, io: PacketIO) -> None:
+        """Text result for ``SELECT @@gtid_executed``: the union of all
+        GTIDs in the recorded stream (what a server that executed this
+        stream would report)."""
+        from ..kernel.gtid import GtidSet
+
+        gset = GtidSet()
+        for name in self._segment_files():
+            for sid, gno in self._file_gtids(name):
+                gset.add(sid, gno)
+        io.write_packet(b"\x01")
+        io.write_packet(self._coldef("@@gtid_executed"))
+        io.write_packet(EOF)
+        text = gset.to_text().encode()
+        # result values can exceed the 1-byte lenc form
+        if len(text) < 251:
+            io.write_packet(self._lenc(text))
+        else:
+            io.write_packet(b"\xfc" + struct.pack("<H", len(text)) + text)
+        io.write_packet(EOF)
+
+    def _stream_binlogs_gtid(self, io: PacketIO, gset) -> None:
+        """GTID auto-positioned dump: start at the first file containing
+        a transaction NOT in ``gset`` (files whose GTIDs are all
+        contained are skipped whole, like MySQL's Previous_gtids
+        check), then stream frame-by-frame skipping contained
+        transactions; housekeeping frames (FORMAT_DESCRIPTION, ROTATE,
+        PREVIOUS_GTIDS) always pass so segment naming and checksum
+        setup survive."""
+        files = self._segment_files()
+        start_idx = len(files)
+        for i, name in enumerate(files):
+            if any(not gset.contains(sid, gno) for sid, gno in self._file_gtids(name)):
+                start_idx = i
+                break
+        files = files[start_idx:]
+        if not files:
+            io.write_packet(EOF)
+            return
+
+        HOUSEKEEPING = (
+            EventType.FORMAT_DESCRIPTION_EVENT,
+            EventType.ROTATE_EVENT,
+            EventType.PREVIOUS_GTIDS_EVENT,
+        )
+
+        def frames():
+            yield b"\x00" + fake_rotate_frame(files[0])
+            for name in files:
+                with open(os.path.join(self.segment_dir, name), "rb") as f:
+                    blob = f.read()
+                skip_tx = False
+                for frame in iter_raw_frames(blob):
+                    et = frame[4]
+                    if et == EventType.GTID_EVENT:
+                        sid = bytes(frame[20:36])
+                        gno = struct.unpack_from("<q", frame, 36)[0]
+                        skip_tx = gset.contains(sid, gno)
+                        if skip_tx:
+                            continue
+                    elif et in HOUSEKEEPING:
+                        skip_tx = False
+                    elif skip_tx:
+                        continue
+                    yield b"\x00" + frame
+
+        io.write_packets_bulk(frames())
+        io.write_packet(EOF)
+
     def _stream_binlogs(self, io: PacketIO, start_file: str) -> None:
         start_key = segment_sort_key(start_file)
         files = sorted(
@@ -356,10 +456,45 @@ class ReplayServer:
             ),
             key=segment_sort_key,
         )
-        io.write_packet(b"\x00" + fake_rotate_frame(start_file))
-        for name in files:
-            with open(os.path.join(self.segment_dir, name), "rb") as f:
-                blob = f.read()
-            for frame in iter_raw_frames(blob):
-                io.write_packet(b"\x00" + frame)
+        def frames():
+            yield b"\x00" + fake_rotate_frame(start_file)
+            for name in files:
+                with open(os.path.join(self.segment_dir, name), "rb") as f:
+                    blob = f.read()
+                for frame in iter_raw_frames(blob):
+                    yield b"\x00" + frame
+
+        # one sendall per ~256 KB instead of per event — the replay rig
+        # must not be the bottleneck of what it measures
+        io.write_packets_bulk(frames())
         io.write_packet(EOF)
+
+
+def main(argv=None) -> int:
+    """Standalone entry: serve segment files from a directory until
+    killed. Prints ``PORT <n>`` on stdout once listening — the bench
+    runs the replay rig OUT of process so the serial tailer doesn't
+    share a GIL with the server it measures."""
+    import argparse
+    import sys
+
+    parser = argparse.ArgumentParser(prog="replay-server")
+    parser.add_argument("segment_dir")
+    parser.add_argument("--user", default="repl")
+    parser.add_argument("--password", default="secret")
+    parser.add_argument("--auth-plugin", default="mysql_native_password")
+    args = parser.parse_args(argv)
+    srv = ReplayServer(
+        args.segment_dir, user=args.user, password=args.password, auth_plugin=args.auth_plugin
+    )
+    with srv:
+        print(f"PORT {srv.port}", flush=True)
+        try:
+            srv.thread.join()
+        except KeyboardInterrupt:
+            pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,90 @@
+"""Pipelined streaming ingest (pipelines.streaming.StreamingIngestor):
+equality with the batch pipeline, incremental waves, replay no-op."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+
+def _read_sorted(lake_dir):
+    from myzql_binlog_connector_ray.pipelines.ingest import read_lake
+
+    return (
+        read_lake(lake_dir)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+        .reindex(sorted(["repo", "path", "commit", "lang", "content", "stars", "content_sha256"]), axis=1)
+    )
+
+
+def test_streaming_ingestor_equals_batch(ray_session, fixture_paths, tmp_path):
+    from myzql_binlog_connector_ray.pipelines.ingest import init_lake, run_ingest
+    from myzql_binlog_connector_ray.pipelines.streaming import StreamingIngestor
+
+    n_parts = 8
+    base = pq.read_table(fixture_paths["base_lake"])
+
+    # reference: batch ingest of all segments at once
+    ref_lake = str(tmp_path / "ref_lake")
+    init_lake(base, ref_lake, n_parts)
+    run_ingest(fixture_paths["segment_paths"], ref_lake, num_partitions=n_parts, concurrency=2)
+
+    # streaming: segments submitted one at a time, polled between
+    stream_lake = str(tmp_path / "stream_lake")
+    init_lake(base, stream_lake, n_parts)
+    ing = StreamingIngestor(stream_lake, num_partitions=n_parts, sink="delta")
+    for p in fixture_paths["segment_paths"]:
+        ing.submit(p)
+        ing.poll()
+    summaries = ing.drain()
+    assert summaries, "no partitions committed"
+    assert not os.path.isdir(ing.staging_root)
+
+    pd.testing.assert_frame_equal(_read_sorted(stream_lake), _read_sorted(ref_lake))
+
+
+def test_streaming_ingestor_rewrite_sink(ray_session, fixture_paths, tmp_path):
+    from myzql_binlog_connector_ray.pipelines.ingest import init_lake, run_ingest
+    from myzql_binlog_connector_ray.pipelines.streaming import StreamingIngestor
+
+    n_parts = 4
+    base = pq.read_table(fixture_paths["base_lake"])
+    ref_lake = str(tmp_path / "ref_lake")
+    init_lake(base, ref_lake, n_parts)
+    run_ingest(fixture_paths["segment_paths"], ref_lake, num_partitions=n_parts, concurrency=2)
+
+    stream_lake = str(tmp_path / "stream_lake")
+    init_lake(base, stream_lake, n_parts)
+    ing = StreamingIngestor(stream_lake, num_partitions=n_parts, sink="rewrite")
+    for p in fixture_paths["segment_paths"]:
+        ing.submit(p)
+    ing.drain()
+    pd.testing.assert_frame_equal(_read_sorted(stream_lake), _read_sorted(ref_lake))
+
+
+def test_streaming_ingestor_replay_noop(ray_session, fixture_paths, tmp_path):
+    """Re-streaming the same segments over a committed lake is a no-op:
+    the per-partition watermark drops every replayed change."""
+    from myzql_binlog_connector_ray.pipelines.ingest import init_lake
+    from myzql_binlog_connector_ray.pipelines.streaming import StreamingIngestor
+
+    n_parts = 4
+    lake = str(tmp_path / "lake")
+    init_lake(pq.read_table(fixture_paths["base_lake"]), lake, n_parts)
+
+    ing = StreamingIngestor(lake, num_partitions=n_parts, sink="delta")
+    for p in fixture_paths["segment_paths"]:
+        ing.submit(p)
+    ing.drain()
+    want = _read_sorted(lake)
+
+    replay = StreamingIngestor(lake, num_partitions=n_parts, sink="delta")
+    for p in fixture_paths["segment_paths"]:
+        replay.submit(p)
+    summaries = replay.drain()
+    assert all(s["skipped"] for s in summaries)
+    pd.testing.assert_frame_equal(_read_sorted(lake), want)

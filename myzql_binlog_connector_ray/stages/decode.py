@@ -50,6 +50,59 @@ from ..kernel.fast_decode import CompiledTableDecoder, parse_row_event_fast
 from ..kernel.row_json import serialize_row
 from ..kernel.table_filter import TableFilter
 
+class SchemaEvolutionError(ValueError):
+    """A mid-stream schema change the positional binlog decode cannot
+    represent losslessly: a TABLE_MAP column-count decrease with no
+    preceding DROP COLUMN DDL, or a lossy (narrowing / family-change)
+    column type replacement. Fail loudly — silently misaligned or
+    truncated decodes corrupt the lake."""
+
+
+# int binlog types by width: evolution may only move right (widen)
+_INT_WIDTH_RANK = {1: 1, 2: 2, 9: 3, 3: 4, 8: 5}  # TINY, SHORT, INT24, LONG, LONGLONG
+
+# types whose metadata word is a max length: evolution may grow it,
+# never shrink it (VARCHAR/VAR_STRING = max bytes, BLOB = length-size)
+_LENGTH_META_TYPES = {15, 253}  # VARCHAR, VAR_STRING
+
+
+def _type_evolution_ok(old: tuple[int, int], new: tuple[int, int]) -> bool:
+    """May a column's (binlog type, metadata) evolve old → new without
+    loss? Same type with non-shrinking length, or an integer widening."""
+    (oct_, ometa), (nct, nmeta) = old, new
+    if oct_ == nct:
+        if oct_ in _LENGTH_META_TYPES:
+            return nmeta >= ometa
+        return True
+    if oct_ in _INT_WIDTH_RANK and nct in _INT_WIDTH_RANK:
+        return _INT_WIDTH_RANK[nct] >= _INT_WIDTH_RANK[oct_]
+    return False
+
+
+def _parse_drop_columns(schema: str, sql: str):
+    """``ALTER TABLE [db.]tbl DROP [COLUMN] col[, DROP COLUMN ...]`` →
+    ((db, tbl), [cols]) or None. The binlog carries no ALTER semantics
+    beyond the SQL text, so drops are recognized from the QUERY event
+    (add/widen need no DDL — the TABLE_MAP replacement carries them)."""
+    import re
+
+    m = re.match(
+        r"(?is)^\s*ALTER\s+TABLE\s+(?:`?(\w+)`?\s*\.\s*)?`?(\w+)`?\s+(.*)$", sql.strip()
+    )
+    if not m:
+        return None
+    db = m.group(1) or schema
+    _NOT_COLS = {"PRIMARY", "FOREIGN", "INDEX", "KEY", "CONSTRAINT", "CHECK", "PARTITION"}
+    cols = [
+        c
+        for c in re.findall(r"(?i)\bDROP\s+(?:COLUMN\s+)?`?(\w+)`?", m.group(3))
+        if c.upper() not in _NOT_COLS
+    ]
+    if not cols:
+        return None
+    return (db, m.group(2)), cols
+
+
 ENVELOPE_FIELDS = [
     ("timestamp", pa.int64()),
     ("server_id", pa.int32()),
@@ -218,6 +271,75 @@ class SegmentDecoder:
                 return False
         return True
 
+    def _validate_evolution(
+        self,
+        tt: tuple,
+        tm,
+        reg: list[str],
+        live_cols: dict,
+        col_types: dict,
+        image_maps: dict,
+    ) -> None:
+        """Reconcile a (new or replaced) TABLE_MAP layout against this
+        segment's evolution state. Semantics (round-5):
+
+        - column ADD: count grows → extend with the registry names not
+          yet live, registry order (the existing pad-at-end behavior).
+        - column DROP: only via a preceding DROP COLUMN QUERY event; a
+          count decrease without one raises (positional decode would
+          silently misalign every later column). Dropped registry
+          columns null-fill downstream (`_finalize_arrow`).
+        - type NARROWING / family change: raises — a lossy re-decode
+          would corrupt the lake (int widths may only grow, VARCHAR max
+          lengths may only grow; widening is the one tested direction,
+          reference analogue: replace-on-rewrite src/binlog_reader.zig:419-423).
+        """
+        n = tm.column_count
+        cols = live_cols.get(tt)
+        if cols is None:
+            cols = list(reg[:n])
+            if len(cols) < n:
+                raise SchemaEvolutionError(
+                    f"{tt[0]}.{tt[1]}: TABLE_MAP describes {n} columns but the registry "
+                    f"only names {len(reg)} — register the full schema before ingesting"
+                )
+            live_cols[tt] = cols
+        elif n > len(cols):
+            for name in reg:
+                if len(cols) >= n:
+                    break
+                if name not in cols:
+                    cols.append(name)
+            if len(cols) < n:
+                raise SchemaEvolutionError(
+                    f"{tt[0]}.{tt[1]}: TABLE_MAP grew to {n} columns but the registry "
+                    f"only names {len(reg)} — register the added column(s) first"
+                )
+        elif n < len(cols):
+            raise SchemaEvolutionError(
+                f"{tt[0]}.{tt[1]}: TABLE_MAP column count fell {len(cols)} → {n} with no "
+                "preceding DROP COLUMN DDL — positional decode would misalign every "
+                "column after the dropped one; rejecting this stream"
+            )
+        prev_types = col_types.get(tt, {})
+        new_types = {}
+        for i, name in enumerate(cols):
+            ct_meta = (tm.column_types[i], tm.column_meta[i])
+            old = prev_types.get(name)
+            if old is not None and not _type_evolution_ok(old, ct_meta):
+                raise SchemaEvolutionError(
+                    f"{tt[0]}.{tt[1]}: column '{name}' changed binlog type "
+                    f"{old[0]}(meta {old[1]}) → {ct_meta[0]}(meta {ct_meta[1]}) mid-stream — "
+                    "narrowing/family changes are lossy for already-decoded rows; "
+                    "re-bootstrap the table instead"
+                )
+            new_types[name] = ct_meta
+        col_types[tt] = new_types
+        if cols == list(reg[: len(cols)]):
+            image_maps.pop(tt, None)
+        else:
+            image_maps[tt] = [reg.index(c) for c in cols]
+
     def _decode_segment(self, name: str, blob: bytes, sink) -> None:
         import os as _os
 
@@ -232,6 +354,19 @@ class SegmentDecoder:
         filtered_ids: set[int] = set()
         ordinal = -1
         self.metrics["segments"] += 1
+        # schema-evolution state, segment-scoped like the TABLE_MAP
+        # cache (segments are self-contained; CROSS-segment drops are
+        # the operator's registry-update contract — a later segment's
+        # narrower TABLE_MAP alone is indistinguishable from a pre-add
+        # schema, so positional decode pads at the end as before):
+        #   live_cols: registry names currently present, in image order
+        #   col_types: per live column, (binlog type, metadata)
+        #   image_maps: image position → registry index, only when a
+        #     drop made the mapping non-identity-prefix
+        live_cols: dict[tuple, list[str]] = {}
+        col_types: dict[tuple, dict[str, tuple[int, int]]] = {}
+        image_maps: dict[tuple, list[int]] = {}
+        validated: dict[tuple, tuple] = {}  # tt → last validated layout
 
         for ev in iter_events(blob):
             et = ev.event_type
@@ -241,9 +376,22 @@ class SegmentDecoder:
             elif et == EventType.GTID_EVENT:
                 ordinal = parse_gtid(ev.data)
             elif et == EventType.QUERY_EVENT:
-                # DDL: recorded for lineage; schema evolution itself rides on
-                # the TABLE_MAP replacement that follows.
-                parse_query(ev.data)
+                # DDL: add/widen ride on the TABLE_MAP replacement that
+                # follows; DROP COLUMN must come from the SQL text (the
+                # narrower TABLE_MAP alone can't say WHICH column left)
+                schema, sql = parse_query(ev.data)
+                drop = _parse_drop_columns(schema, sql)
+                if drop is not None and drop[0] in self.registry:
+                    tt = drop[0]
+                    cols = live_cols.get(tt)
+                    if cols is None:
+                        cols = list(self.registry[tt])
+                    live_cols[tt] = [c for c in cols if c not in set(drop[1])]
+                    types = col_types.get(tt)
+                    if types:
+                        for c in drop[1]:
+                            types.pop(c, None)
+                    validated.pop(tt, None)
             elif et == EventType.TABLE_MAP_EVENT:
                 tm = parse_table_map(ev.data)
                 if self.filter is not None and not self.filter.should_include(tm.database_name, tm.table_name):
@@ -253,6 +401,15 @@ class SegmentDecoder:
                 else:
                     filtered_ids.discard(tm.table_id)
                     table_maps[tm.table_id] = tm  # replace-on-rewrite = schema evolution
+                    tt = (tm.database_name, tm.table_name)
+                    reg = self.registry.get(tt)
+                    if reg:
+                        layout = (len(tm.column_types), tuple(tm.column_types), tuple(tm.column_meta))
+                        if validated.get(tt) != layout:  # skip per-transaction re-emissions
+                            self._validate_evolution(
+                                tt, tm, list(reg), live_cols, col_types, image_maps
+                            )
+                            validated[tt] = layout
             elif et in ROW_EVENT_TYPES:
                 if self.min_ordinal is not None and ordinal < self.min_ordinal:
                     continue
@@ -286,6 +443,24 @@ class SegmentDecoder:
                     else:
                         rows = [(p.before, p.after) for p in pairs]
                 self.metrics["rows"] += len(rows)
+                im = image_maps.get((tm.database_name, tm.table_name))
+                if im is not None:
+                    # a DROP COLUMN made the positional mapping
+                    # non-identity: place each image value under its
+                    # registry column; dropped registry columns stay
+                    # None (→ null-filled in the lake)
+                    ncols_t = len(self.registry[(tm.database_name, tm.table_name)])
+
+                    def _remap(img):
+                        if img is None:
+                            return None
+                        out = [None] * ncols_t
+                        for pos, ridx in enumerate(im):
+                            if pos < len(img):
+                                out[ridx] = img[pos]
+                        return out
+
+                    rows = [(_remap(b), _remap(a)) for b, a in rows]
                 sink(name, ev, ordinal, tm, _dml_name(et), rows)
 
     # -- batch entry points ------------------------------------------------

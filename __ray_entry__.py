@@ -36,6 +36,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_counters_multi": api.lake_counters_multi,
         # delta-sink ingest (three waves, no base rewrite) + fold-on-read
         "lake_upsert_lww_delta": api.lake_upsert_lww_delta,
+        # pipelined streaming ingest (round-5): stage-on-close raw
+        # tasks, contiguous-prefix apply waves, final fold to base
+        "lake_upsert_lww_streaming": api.lake_upsert_lww_streaming,
         # reconciliation: per-key drift between snapshot and replayed lake
         "lake_reconcile_diff": api.lake_reconcile_diff,
         # training-data operators
@@ -535,6 +538,9 @@ def oracle_sql() -> dict[str, str]:
         # delta sink: three appended waves folded on read must equal the
         # rewrite sink's final state exactly (associative LWW fold)
         "lake_upsert_lww_delta": _LAKE_FINAL_SQL,
+        # streaming ingest: the incrementally-streamed lake must equal
+        # the batch flagship's final state, value-for-value
+        "lake_upsert_lww_streaming": _LAKE_FINAL_SQL,
         # reconciliation diff: snapshot (v1, doc_id%4<>0) vs replayed
         # final state (doc_id%5<>0 at final version) — drift set only
         "lake_reconcile_diff": f"""

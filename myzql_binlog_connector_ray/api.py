@@ -162,6 +162,38 @@ def lake_upsert_lww_delta(sf_dir: str, *, num_partitions: int = 16, concurrency=
     )
 
 
+def lake_upsert_lww_streaming(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
+    """Pipelined streaming ingest (round-5): segments feed a
+    StreamingIngestor one at a time — each decode+stage task launches
+    on submit, apply waves cover contiguous staged prefixes as raw
+    tasks, the final wave folds to base form. Value-checked against the
+    same closed-form LWW oracle as the batch flagship, so the
+    stage-on-close / windowed-watermark machinery is in the driver's
+    correctness gate (pipelines/streaming.py)."""
+    from .pipelines.ingest import read_lake
+    from .pipelines.streaming import StreamingIngestor
+
+    fx = _fixtures(sf_dir)
+    lake_dir = os.path.join(fx["root"], f"stream_query_lake_p{num_partitions}")
+    done = os.path.join(lake_dir, "_STREAM_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        init_lake(pq.read_table(fx["base_lake"]), lake_dir, num_partitions)
+        ing = StreamingIngestor(lake_dir, num_partitions=num_partitions, sink="delta")
+        for p in fx["segment_paths"]:
+            ing.submit(p)
+            ing.poll()
+        ing.drain()
+        with open(done, "w") as f:
+            f.write("ok")
+    return read_lake(lake_dir).map_batches(
+        lambda t: t.select(FINAL_COLUMNS).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
+
+
 def changes_count_by_dml(sf_dir: str, *, concurrency=None):
     fx = _fixtures(sf_dir)
     ds = decode_envelope(read_segments(fx["segment_paths"]), concurrency=concurrency)

@@ -270,7 +270,23 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    def settle(limit: float = 2.0, timeout: float = 180.0) -> None:
+        """Wait for the previous child's Ray teardown / host steal to
+        drain before measuring the next level — round-5's load markers
+        showed back-to-back children contaminating each other (a 16-CPU
+        child starting at load 11 measured 0.62 'efficiency' on code
+        whose quiet-host band is 0.96-1.02)."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                if os.getloadavg()[0] <= limit:
+                    return
+            except OSError:
+                return
+            time.sleep(5)
+
     def sub(ncpu: int) -> dict:
+        settle()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SCALING_CHILD="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -176,6 +176,46 @@ def test_packet_framing_16mb_continuation():
         a.close(); b.close()
 
 
+def test_iter_packets_mixed_sizes_and_continuations():
+    """The buffered bulk iterator (round-5 hot path) must reassemble
+    16 MB continuations and interleave with small packets, byte-equal
+    to read_packet, including via write_packets_bulk."""
+    import socket
+    import threading
+
+    from myzql_binlog_connector_ray.sources.mysql_wire import MAX_PACKET, PacketIO
+
+    payloads = [
+        b"",
+        b"\x00small",
+        bytes(range(251)) * 100,
+        (bytes(range(251)) * ((MAX_PACKET // 251) + 2))[: MAX_PACKET + 13],  # continuation
+        b"tail",
+    ]
+    a, b = socket.socketpair()
+    sender, receiver = PacketIO(a), PacketIO(b)
+
+    def send():
+        # small ones through the bulk writer, the big one through
+        # write_packet (bulk falls back to it for >=16MB internally too)
+        sender.write_packets_bulk(payloads[:3])
+        sender.write_packet(payloads[3])
+        sender.write_packets_bulk(payloads[4:])
+        a.shutdown(socket.SHUT_WR)
+
+    t = threading.Thread(target=send)
+    t.start()
+    got = []
+    it = receiver.iter_packets()
+    try:
+        for _ in range(len(payloads)):
+            got.append(next(it))
+    finally:
+        t.join(timeout=10)
+    assert got == payloads
+    a.close(); b.close()
+
+
 @pytest.fixture(scope="module")
 def tls_cert(tmp_path_factory):
     import subprocess

@@ -39,6 +39,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pipelined streaming ingest (round-5): stage-on-close raw
         # tasks, contiguous-prefix apply waves, final fold to base
         "lake_upsert_lww_streaming": api.lake_upsert_lww_streaming,
+        # multi-table pipelined streaming: one stage-on-close decode
+        # pass feeds BOTH tables' namespaced lakes live
+        "lake_counters_multi_streaming": api.lake_counters_multi_streaming,
         # reconciliation: per-key drift between snapshot and replayed lake
         "lake_reconcile_diff": api.lake_reconcile_diff,
         # training-data operators
@@ -541,6 +544,13 @@ def oracle_sql() -> dict[str, str]:
         # streaming ingest: the incrementally-streamed lake must equal
         # the batch flagship's final state, value-for-value
         "lake_upsert_lww_streaming": _LAKE_FINAL_SQL,
+        # multi-table streaming: the side table's live-streamed final
+        # state must equal the batch multi-ingest oracle
+        "lake_counters_multi_streaming": """
+            SELECT CAST(doc_id AS BIGINT) AS id,
+                   CAST(length(text) AS BIGINT) AS val
+            FROM documents WHERE doc_id % 11 = 0
+        """,
         # reconciliation diff: snapshot (v1, doc_id%4<>0) vs replayed
         # final state (doc_id%5<>0 at final version) — drift set only
         "lake_reconcile_diff": f"""

@@ -194,6 +194,49 @@ def lake_upsert_lww_streaming(sf_dir: str, *, num_partitions: int = 16, concurre
     )
 
 
+def lake_counters_multi_streaming(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
+    """MULTI-table pipelined streaming ingest (round-5): the segments
+    feed ONE StreamingIngestor in ``tables=`` mode — each stage-on-close
+    decode task emits BOTH fixture tables' typed streams into namespaced
+    per-segment staging, and apply waves commit each ``(table, part)``
+    with its own keys/schema/watermarks. Returns the SECOND table's
+    (metrics.counters) final state, value-checked against the same
+    closed-form oracle as the batch multi-table ingest — so routing rows
+    to the wrong namespace live, losing the side table in a wave window,
+    or cross-table watermark interference all fail the driver's gate.
+    (The repos namespace of this same lake is covered by the batch-multi
+    and single-table-streaming LWW oracles.)"""
+    from .pipelines.ingest import read_lake
+    from .pipelines.streaming import StreamingIngestor
+
+    fx = _fixtures(sf_dir)
+    lake_root = os.path.join(fx["root"], f"stream_multi_lake_p{num_partitions}")
+    done = os.path.join(lake_root, "_STREAM_MULTI_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(lake_root, ignore_errors=True)
+        init_lake(
+            pq.read_table(fx["base_lake"]), os.path.join(lake_root, "app.repos"), num_partitions
+        )
+        ing = StreamingIngestor(
+            lake_root,
+            num_partitions=num_partitions,
+            sink="delta",
+            tables=[("app", "repos"), ("metrics", "counters")],
+        )
+        for p in fx["segment_paths"]:
+            ing.submit(p)
+            ing.poll()
+        ing.drain()
+        with open(done, "w") as f:
+            f.write("ok")
+    return read_lake(os.path.join(lake_root, "metrics.counters")).map_batches(
+        lambda t: t.select(["id", "val"]).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
+
+
 def changes_count_by_dml(sf_dir: str, *, concurrency=None):
     fx = _fixtures(sf_dir)
     ds = decode_envelope(read_segments(fx["segment_paths"]), concurrency=concurrency)

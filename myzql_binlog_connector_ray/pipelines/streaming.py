@@ -67,28 +67,34 @@ def _warmup_task() -> bool:
 
 @ray.remote
 def _compact_parts_task(
-    parts: list[int],
-    lake_dir: str,
-    key_cols: Optional[list[str]],
-    final_columns: Optional[list[str]],
-    final_types: Optional[dict],
+    pairs: list,
+    lake_root: str,
+    cfg_by_ns: dict,
 ) -> int:
     from ..stages.apply_arrow import compact_partition
 
     n = 0
-    for p in parts:
+    for ns, p in pairs:
+        cfg = cfg_by_ns[ns]
         out = compact_partition(
-            lake_dir, p, key_cols=key_cols, final_columns=final_columns, final_types=final_types
+            os.path.join(lake_root, ns) if ns else lake_root,
+            p,
+            key_cols=cfg.get("keys"),
+            final_columns=cfg.get("final_columns"),
+            final_types=cfg.get("types"),
         )
         n += 0 if out.get("skipped") else 1
     return n
 
 
 @ray.remote
-def _stage_segment_task(path: str, staging_dir: str, cfg: dict) -> list[int]:
+def _stage_segment_task(path: str, staging_dir: str, cfg: dict) -> list:
     """Decode one closed segment and stage its change rows
     part-bucketed under ``staging_dir`` (the map side of the exchange).
-    Returns the dirty partition ids."""
+    Returns the dirty ``(table_ns, part)`` pairs — ``table_ns`` is ""
+    in single-table mode, where the decoder stages directly under
+    ``staging_dir/part=P`` (multi-table mode namespaces a
+    ``<schema>.<table>/`` level in between)."""
     from ..stages.decode import SegmentDecoder
 
     with open(path, "rb") as f:
@@ -97,44 +103,50 @@ def _stage_segment_task(path: str, staging_dir: str, cfg: dict) -> list[int]:
         {"bytes": pa.array([blob], pa.binary()), "path": pa.array([path], pa.string())}
     )
     out = SegmentDecoder(staging_dir=staging_dir, **cfg)(batch)
-    return sorted(set(out["part"].to_pylist()))
+    parts = [int(x) for x in out["part"].to_pylist()]
+    if "table_ns" in out.column_names:
+        return sorted(set(zip(out["table_ns"].to_pylist(), parts)))
+    return sorted({("", p) for p in parts})
 
 
 @ray.remote
 def _apply_parts_task(
-    parts: list[int],
+    pairs: list,
     seg_dirs: list[str],
-    lake_dir: str,
-    final_columns: Optional[list[str]],
-    final_types: Optional[dict],
-    key_cols: Optional[list[str]],
+    lake_root: str,
+    cfg_by_ns: dict,
     sink_mode: str,
     compact_every: Optional[int],
 ) -> list[dict]:
-    """Apply one window's staged changes for a slice of partitions —
-    the reduce side, same leased exactly-once commit as the batch
-    path."""
+    """Apply one window's staged changes for a slice of ``(table_ns,
+    part)`` pairs — the reduce side, same leased exactly-once commit as
+    the batch path (each table's own keys/schema/lake namespace)."""
     import glob
 
     import pyarrow.feather as feather
 
     from ..stages.apply_arrow import ApplyPartitionArrow
 
-    inner = ApplyPartitionArrow(
-        lake_dir=lake_dir,
-        write=True,
-        final_columns=final_columns,
-        final_types=final_types,
-        key_cols=key_cols,
-        sink_mode=sink_mode,
-        compact_every=compact_every,
-    )
+    appliers: dict[str, ApplyPartitionArrow] = {}
     summaries = []
-    for part in parts:
+    for ns, part in pairs:
+        inner = appliers.get(ns)
+        if inner is None:
+            cfg = cfg_by_ns[ns]
+            inner = appliers[ns] = ApplyPartitionArrow(
+                lake_dir=os.path.join(lake_root, ns) if ns else lake_root,
+                write=True,
+                final_columns=cfg.get("final_columns"),
+                final_types=cfg.get("types"),
+                key_cols=cfg.get("keys"),
+                sink_mode=sink_mode,
+                compact_every=compact_every,
+            )
         tables = []
         for d in seg_dirs:
-            for fpath in sorted(glob.glob(os.path.join(d, f"part={part}", "*.ipc"))) + sorted(
-                glob.glob(os.path.join(d, f"part={part}", "*.parquet"))
+            pdir = os.path.join(d, ns, f"part={part}") if ns else os.path.join(d, f"part={part}")
+            for fpath in sorted(glob.glob(os.path.join(pdir, "*.ipc"))) + sorted(
+                glob.glob(os.path.join(pdir, "*.parquet"))
             ):
                 if fpath.endswith(".ipc"):
                     tables.append(feather.read_table(fpath, memory_map=True))
@@ -146,7 +158,9 @@ def _apply_parts_task(
             continue
         changes = pa.concat_tables(tables, promote_options="permissive")
         s = inner(changes)
-        summaries.append({c: s[c][0].as_py() for c in s.column_names})
+        rec = {c: s[c][0].as_py() for c in s.column_names}
+        rec["table_ns"] = ns
+        summaries.append(rec)
     return summaries
 
 
@@ -173,24 +187,58 @@ class StreamingIngestor:
         typed_types: Optional[dict] = None,
         dedup_keys: Optional[list[str]] = None,
         final_columns: Optional[list[str]] = None,
+        tables: Optional[list[tuple[str, str]]] = None,
+        table_configs: Optional[dict] = None,
         sink: str = "delta",
         compact_every: Optional[int] = None,
         apply_parallelism: Optional[int] = None,
     ):
+        """``tables`` switches on MULTI-table mode (the live analogue of
+        ``run_ingest_multi``): one decode pass per segment stages every
+        listed table's typed stream under ``seg_dir/<schema>.<table>/``
+        and ``lake_dir`` becomes the lake ROOT with one namespace
+        directory per table, each with its own keys/schema/partition
+        count and independent per-(table, partition) watermarks.
+        ``table_configs`` defaults to ``pipelines.ingest.TABLE_CONFIGS``."""
         self.lake_dir = lake_dir
         self.sink = sink
         self.compact_every = compact_every
         self.key_cols = dedup_keys or ["repo", "path"]
         self.final_columns = final_columns or FINAL_COLUMNS
         self.typed_types = typed_types or REPOS_TYPED_TYPES
-        self.decode_cfg = dict(
-            mode="typed",
-            registry=registry or SCHEMA_REGISTRY,
-            target_table=target_table,
-            typed_types=self.typed_types,
-            dedup_keys=self.key_cols,
-            num_partitions=num_partitions,
-        )
+        if tables is not None:
+            from .ingest import TABLE_CONFIGS, table_ns
+
+            tables = [tuple(t) for t in tables]
+            cfgs = table_configs or TABLE_CONFIGS
+            self.cfg_by_ns = {table_ns(tt): dict(cfgs[tt]) for tt in tables}
+            self.decode_cfg = dict(
+                mode="typed",
+                registry=registry or SCHEMA_REGISTRY,
+                target_tables=tables,
+                typed_types_by_table={tt: cfgs[tt]["types"] for tt in tables},
+                dedup_keys_by_table={tt: cfgs[tt]["keys"] for tt in tables},
+                num_partitions_by_table={
+                    tt: cfgs[tt].get("num_partitions", num_partitions) for tt in tables
+                },
+                num_partitions=num_partitions,
+            )
+        else:
+            self.cfg_by_ns = {
+                "": dict(
+                    keys=self.key_cols,
+                    types=self.typed_types,
+                    final_columns=self.final_columns,
+                )
+            }
+            self.decode_cfg = dict(
+                mode="typed",
+                registry=registry or SCHEMA_REGISTRY,
+                target_table=target_table,
+                typed_types=self.typed_types,
+                dedup_keys=self.key_cols,
+                num_partitions=num_partitions,
+            )
         if apply_parallelism is None:
             try:
                 apply_parallelism = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
@@ -204,7 +252,7 @@ class StreamingIngestor:
         # submission order == stream order == ordinal order
         self._seg_dirs: list[str] = []
         self._stage_refs: list[ray.ObjectRef] = []
-        self._stage_parts: dict[int, list[int]] = {}  # idx → dirty parts
+        self._stage_parts: dict[int, list] = {}  # idx → dirty (ns, part) pairs
         self._staged_through = 0  # contiguous prefix of resolved stage tasks
         self._applied_through = 0  # prefix already covered by completed applies
         self._inflight: Optional[tuple[list[ray.ObjectRef], int]] = None  # (refs, window_end)
@@ -252,9 +300,7 @@ class StreamingIngestor:
                 chunk,
                 seg_dirs,
                 self.lake_dir,
-                self.final_columns,
-                self.typed_types,
-                self.key_cols,
+                self.cfg_by_ns,
                 sink_override or self.sink,
                 self.compact_every,
             )
@@ -311,13 +357,19 @@ class StreamingIngestor:
             self._maybe_launch_apply(sink_override=final_sink)
         shutil.rmtree(self.staging_root, ignore_errors=True)
         if compact:
-            dirty = sorted({int(s["part"]) for s in self.summaries if s.get("part", -1) >= 0})
+            dirty = sorted(
+                {
+                    (s.get("table_ns", ""), int(s["part"]))
+                    for s in self.summaries
+                    if s.get("part", -1) >= 0
+                }
+            )
             folded = (
                 set(self._last_wave_parts)
                 if getattr(self, "_last_wave_sink", None) == "rewrite"
                 else set()
             )
-            remaining = [p for p in dirty if p not in folded]
+            remaining = [pr for pr in dirty if pr not in folded]
             if remaining:
                 # raw-task compaction (skips the Dataset-job floor of
                 # compact_lake) over whatever still carries deltas
@@ -325,9 +377,7 @@ class StreamingIngestor:
                 chunks = [remaining[i::n_tasks] for i in range(n_tasks)]
                 ray.get(
                     [
-                        _compact_parts_task.remote(
-                            c, self.lake_dir, self.key_cols, self.final_columns, self.typed_types
-                        )
+                        _compact_parts_task.remote(c, self.lake_dir, self.cfg_by_ns)
                         for c in chunks
                     ]
                 )

@@ -88,3 +88,52 @@ def test_streaming_ingestor_replay_noop(ray_session, fixture_paths, tmp_path):
     summaries = replay.drain()
     assert all(s["skipped"] for s in summaries)
     pd.testing.assert_frame_equal(_read_sorted(lake), want)
+
+
+def test_streaming_ingestor_multi_equals_batch(ray_session, fixture_paths, tmp_path):
+    """Multi-table streaming (tables= mode): one stage-on-close decode
+    pass per segment feeds BOTH namespaced lakes live; each table's
+    final state equals the batch run_ingest_multi result."""
+    from myzql_binlog_connector_ray.pipelines.ingest import (
+        init_lake,
+        read_lake,
+        run_ingest_multi,
+    )
+    from myzql_binlog_connector_ray.pipelines.streaming import StreamingIngestor
+
+    n_parts = 8
+    base = pq.read_table(fixture_paths["base_lake"])
+    ref_root = str(tmp_path / "ref_root")
+    init_lake(base, os.path.join(ref_root, "app.repos"), n_parts)
+    run_ingest_multi(fixture_paths["segment_paths"], ref_root, num_partitions=n_parts)
+
+    stream_root = str(tmp_path / "stream_root")
+    init_lake(base, os.path.join(stream_root, "app.repos"), n_parts)
+    ing = StreamingIngestor(
+        stream_root,
+        num_partitions=n_parts,
+        sink="delta",
+        tables=[("app", "repos"), ("metrics", "counters")],
+    )
+    for p in fixture_paths["segment_paths"]:
+        ing.submit(p)
+        ing.poll()
+    summaries = ing.drain()
+    assert {s["table_ns"] for s in summaries} == {"app.repos", "metrics.counters"}
+    assert not os.path.isdir(ing.staging_root)
+
+    pd.testing.assert_frame_equal(
+        _read_sorted(os.path.join(stream_root, "app.repos")),
+        _read_sorted(os.path.join(ref_root, "app.repos")),
+    )
+    got = (
+        read_lake(os.path.join(stream_root, "metrics.counters"))
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    want = (
+        read_lake(os.path.join(ref_root, "metrics.counters"))
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reindex(sorted(got.columns), axis=1), want.reindex(sorted(want.columns), axis=1)
+    )

@@ -18,20 +18,24 @@ Shape:
 - ``submit(segment_path)`` — immediately launches a decode+stage task
   (one per segment, staged into its own ``seg-<name>/part=P`` dir).
   Decode overlaps the tail AND the apply of earlier segments.
-- apply waves — whenever a contiguous prefix of submitted segments has
-  finished staging and no apply is in flight, the dirty partitions of
-  that window are applied by a fan-out of raw tasks (each holds the
-  partition lease; the manifest watermark keeps it exactly-once).
-  Waves are serialized with each other: ordinals are monotone along
-  the stream, and applying window k+1 before window k would drop
-  window k behind the watermark.
+- per-partition apply windows — each ``(table_ns, part)`` advances
+  through its own staged windows independently: whenever a partition
+  has pending staged segments and a task slot is free, its pending
+  window (every staged-but-unapplied segment, in submission order)
+  applies as one leased exactly-once commit. A straggler partition
+  (hot key, skew, slow node) never stalls the other partitions'
+  applies — the property a global wave barrier would lose at cluster
+  scale. At most one apply per partition is in flight, so each
+  partition's windows commit in stream order.
 - ``drain()`` — blocks until everything staged + applied; optional
-  compaction folds the delta history to read-optimal form.
+  compaction folds the delta history to read-optimal form (each
+  partition's final apply runs in rewrite mode where possible).
 
 Correctness invariant (same as the batch path): an apply over
 partition P at watermark W must include every staged change with
-ordinal ≤ W for P — guaranteed by only applying contiguous prefixes of
-the submission order, which is the stream order.
+ordinal ≤ W for P — guaranteed per partition: P's windows launch in
+submission order (= stream order = ordinal order), covering every
+staged segment that contains P, and never overlap in flight.
 
 At multi-node scale the staging dirs live on shared storage; the
 tailer is one lightweight process per MySQL server and stage/apply
@@ -111,16 +115,17 @@ def _stage_segment_task(path: str, staging_dir: str, cfg: dict) -> list:
 
 @ray.remote
 def _apply_parts_task(
-    pairs: list,
-    seg_dirs: list[str],
+    items: list,
     lake_root: str,
     cfg_by_ns: dict,
     sink_mode: str,
     compact_every: Optional[int],
 ) -> list[dict]:
-    """Apply one window's staged changes for a slice of ``(table_ns,
-    part)`` pairs — the reduce side, same leased exactly-once commit as
-    the batch path (each table's own keys/schema/lake namespace)."""
+    """Apply staged changes for a slice of ``(table_ns, part,
+    seg_dirs)`` items — the reduce side, same leased exactly-once
+    commit as the batch path (each table's own keys/schema/lake
+    namespace). Each item's ``seg_dirs`` is THAT partition's pending
+    window, in stream order — partitions advance independently."""
     import glob
 
     import pyarrow.feather as feather
@@ -129,7 +134,7 @@ def _apply_parts_task(
 
     appliers: dict[str, ApplyPartitionArrow] = {}
     summaries = []
-    for ns, part in pairs:
+    for ns, part, seg_dirs in items:
         inner = appliers.get(ns)
         if inner is None:
             cfg = cfg_by_ns[ns]
@@ -252,10 +257,16 @@ class StreamingIngestor:
         # submission order == stream order == ordinal order
         self._seg_dirs: list[str] = []
         self._stage_refs: list[ray.ObjectRef] = []
-        self._stage_parts: dict[int, list] = {}  # idx → dirty (ns, part) pairs
         self._staged_through = 0  # contiguous prefix of resolved stage tasks
-        self._applied_through = 0  # prefix already covered by completed applies
-        self._inflight: Optional[tuple[list[ray.ObjectRef], int]] = None  # (refs, window_end)
+        # per-(table_ns, part) scheduling state: partitions advance
+        # through their own staged windows independently — a straggler
+        # partition (hot key / skew) never stalls the others' applies,
+        # which is what a global wave barrier would do at cluster scale
+        self._key_pending: dict = {}  # key → staged window idxs not yet launched
+        self._key_inflight: set = set()
+        self._inflight_tasks: list = []  # (ref, [(key, window_idxs)])
+        self._window_remaining: dict = {}  # idx → keys with unapplied data
+        self._folded: set = set()  # keys whose LAST apply ran in rewrite mode
         self.summaries: list[dict] = []
         # fire-and-forget worker warmup, overlapped with the tail
         self._warmup = [_warmup_task.remote() for _ in range(min(self.apply_parallelism, 16))]
@@ -277,59 +288,82 @@ class StreamingIngestor:
 
     def _advance_staged(self) -> None:
         while self._staged_through < len(self._stage_refs):
-            ref = self._stage_refs[self._staged_through]
+            idx = self._staged_through
+            ref = self._stage_refs[idx]
             ready, _ = ray.wait([ref], timeout=0)
             if not ready:
                 break
-            self._stage_parts[self._staged_through] = ray.get(ref)
+            pairs = [tuple(p) for p in ray.get(ref)]
             self._staged_through += 1
+            if not pairs:
+                shutil.rmtree(self._seg_dirs[idx], ignore_errors=True)
+                continue
+            self._window_remaining[idx] = set(pairs)
+            for key in pairs:
+                self._key_pending.setdefault(key, []).append(idx)
 
     def _maybe_launch_apply(self, sink_override: Optional[str] = None) -> None:
-        if self._inflight is not None or self._staged_through <= self._applied_through:
+        slots = self.apply_parallelism - len(self._inflight_tasks)
+        if slots <= 0:
             return
-        lo, hi = self._applied_through, self._staged_through
-        dirty = sorted({p for i in range(lo, hi) for p in self._stage_parts[i]})
-        if not dirty:
-            self._applied_through = hi
+        ready = sorted(
+            k for k, pend in self._key_pending.items() if pend and k not in self._key_inflight
+        )
+        if not ready:
             return
-        seg_dirs = self._seg_dirs[lo:hi]
-        n_tasks = min(len(dirty), self.apply_parallelism)
-        chunks = [dirty[i::n_tasks] for i in range(n_tasks)]
-        refs = [
-            _apply_parts_task.remote(
-                chunk,
-                seg_dirs,
-                self.lake_dir,
-                self.cfg_by_ns,
-                sink_override or self.sink,
-                self.compact_every,
+        sink = sink_override or self.sink
+        n_tasks = min(len(ready), slots)
+        for chunk in (ready[i::n_tasks] for i in range(n_tasks)):
+            items, keywins = [], []
+            for key in chunk:
+                wins = self._key_pending[key]
+                self._key_pending[key] = []
+                self._key_inflight.add(key)
+                items.append((key[0], key[1], [self._seg_dirs[i] for i in wins]))
+                keywins.append((key, wins))
+            ref = _apply_parts_task.remote(
+                items, self.lake_dir, self.cfg_by_ns, sink, self.compact_every
             )
-            for chunk in chunks
-        ]
-        self._inflight = (refs, hi)
-        self._last_wave_parts = dirty
-        self._last_wave_sink = sink_override or self.sink
+            self._inflight_tasks.append((ref, keywins))
+            # track which keys' LATEST apply folded to base form, so
+            # drain() only compacts partitions still carrying deltas
+            if sink == "rewrite":
+                self._folded.update(k for k, _ in keywins)
+            else:
+                self._folded.difference_update(k for k, _ in keywins)
 
     def _reap_apply(self, block: bool = False) -> None:
-        if self._inflight is None:
+        if not self._inflight_tasks:
             return
-        refs, hi = self._inflight
-        if not block:
-            _, pending = ray.wait(refs, num_returns=len(refs), timeout=0)
-            if pending:
-                return
-        for batch in ray.get(refs):
-            self.summaries.extend(batch)
-        lo = self._applied_through
-        self._applied_through = hi
-        self._inflight = None
-        # consumed windows' staging dirs are dead weight — drop them
-        for d in self._seg_dirs[lo:hi]:
-            shutil.rmtree(d, ignore_errors=True)
+        refs = [r for r, _ in self._inflight_tasks]
+        done, _ = ray.wait(
+            refs, num_returns=1 if block else len(refs), timeout=None if block else 0
+        )
+        done_set = set(done)
+        still = []
+        for ref, keywins in self._inflight_tasks:
+            if ref not in done_set:
+                still.append((ref, keywins))
+                continue
+            self.summaries.extend(ray.get(ref))
+            for key, wins in keywins:
+                self._key_inflight.discard(key)
+                for w in wins:
+                    rem = self._window_remaining.get(w)
+                    if rem is None:
+                        continue
+                    rem.discard(key)
+                    if not rem:
+                        # every partition with data in this window has
+                        # applied it — its staging dir is dead weight
+                        shutil.rmtree(self._seg_dirs[w], ignore_errors=True)
+                        del self._window_remaining[w]
+        self._inflight_tasks = still
 
     def poll(self) -> None:
-        """Cheap, non-blocking progress: advance the staged prefix, reap
-        a finished apply wave, launch the next one."""
+        """Cheap, non-blocking progress: reap finished applies, advance
+        the staged prefix, launch applies for partitions with pending
+        windows and a free slot."""
         self._reap_apply(block=False)
         self._advance_staged()
         self._maybe_launch_apply()
@@ -339,37 +373,30 @@ class StreamingIngestor:
     def drain(self, compact: Optional[bool] = None) -> list[dict]:
         """Block until every submitted segment is staged and applied.
         ``compact`` (default: True for the delta sink) leaves the lake
-        in read-optimal single-file-per-partition form: the FINAL apply
-        wave runs in rewrite mode (one leased commit folds base + live
-        deltas + window and unlinks the superseded delta files), and
-        only partitions the final wave did not touch go through an
-        explicit compaction task."""
+        in read-optimal single-file-per-partition form: each
+        partition's FINAL apply runs in rewrite mode (one leased commit
+        folds base + live deltas + pending windows and unlinks the
+        superseded delta files), and only partitions with no pending
+        windows at drain time go through an explicit compaction task."""
         if compact is None:
             compact = self.sink == "delta"
-        # stage barrier: once everything is staged, the next launched
-        # wave is the final window — fold it straight to base form
-        while self._stage_refs and self._staged_through < len(self._stage_refs):
+        # stage barrier — applies keep flowing while staging finishes
+        while self._staged_through < len(self._stage_refs):
             ray.wait([self._stage_refs[self._staged_through]], timeout=1.0)
             self.poll()
         final_sink = "rewrite" if compact else self.sink
-        while self._inflight is not None or self._applied_through < self._staged_through:
-            self._reap_apply(block=True)
+        while self._inflight_tasks or any(self._key_pending.values()):
             self._maybe_launch_apply(sink_override=final_sink)
+            if self._inflight_tasks:
+                self._reap_apply(block=True)
         shutil.rmtree(self.staging_root, ignore_errors=True)
         if compact:
-            dirty = sorted(
-                {
-                    (s.get("table_ns", ""), int(s["part"]))
-                    for s in self.summaries
-                    if s.get("part", -1) >= 0
-                }
-            )
-            folded = (
-                set(self._last_wave_parts)
-                if getattr(self, "_last_wave_sink", None) == "rewrite"
-                else set()
-            )
-            remaining = [pr for pr in dirty if pr not in folded]
+            dirty = {
+                (s.get("table_ns", ""), int(s["part"]))
+                for s in self.summaries
+                if s.get("part", -1) >= 0
+            }
+            remaining = sorted(pr for pr in dirty if pr not in self._folded)
             if remaining:
                 # raw-task compaction (skips the Dataset-job floor of
                 # compact_lake) over whatever still carries deltas

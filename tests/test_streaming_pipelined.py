@@ -137,3 +137,31 @@ def test_streaming_ingestor_multi_equals_batch(ray_session, fixture_paths, tmp_p
     pd.testing.assert_frame_equal(
         got.reindex(sorted(got.columns), axis=1), want.reindex(sorted(want.columns), axis=1)
     )
+
+
+def test_streaming_ingestor_single_slot_accumulates_windows(
+    ray_session, fixture_paths, tmp_path
+):
+    """apply_parallelism=1 starves the scheduler: partitions accumulate
+    multi-segment pending windows and launch in large uneven batches —
+    per-partition window ordering must still reproduce the batch lake."""
+    from myzql_binlog_connector_ray.pipelines.ingest import init_lake, run_ingest
+    from myzql_binlog_connector_ray.pipelines.streaming import StreamingIngestor
+
+    n_parts = 16
+    base = pq.read_table(fixture_paths["base_lake"])
+    ref_lake = str(tmp_path / "ref_lake")
+    init_lake(base, ref_lake, n_parts)
+    run_ingest(fixture_paths["segment_paths"], ref_lake, num_partitions=n_parts, concurrency=2)
+
+    stream_lake = str(tmp_path / "stream_lake")
+    init_lake(base, stream_lake, n_parts)
+    ing = StreamingIngestor(
+        stream_lake, num_partitions=n_parts, sink="delta", apply_parallelism=1
+    )
+    for p in fixture_paths["segment_paths"]:
+        ing.submit(p)
+        ing.poll()
+    ing.drain()
+    assert not os.path.isdir(ing.staging_root)
+    pd.testing.assert_frame_equal(_read_sorted(stream_lake), _read_sorted(ref_lake))

@@ -144,6 +144,41 @@ class BinlogTailer:
         HEARTBEAT = EventType.HEARTBEAT_EVENT
         ROTATE = EventType.ROTATE_EVENT
         track_pos = self.stop_file is not None or self.stop_position is not None
+        if not track_pos:
+            # bulk pump: ordinary frames append to the segment file in
+            # ~1 MB batches inside PacketIO's single loop; only ROTATE /
+            # HEARTBEAT escape here (per-frame log_pos tracking needs
+            # the slow path below — stop conditions are a replay/test
+            # shape; a live tail runs to EOF/shutdown)
+            def _bulk_write(data, n) -> None:
+                self._seg_file.write(data)
+                self._seg_events += n
+
+            try:
+                for event_type, frame in conn.io.pump_event_frames(
+                    _bulk_write, frozenset({int(HEARTBEAT), int(ROTATE)})
+                ):
+                    if event_type == HEARTBEAT:
+                        # keepalive on an idle blocking dump — never part
+                        # of an on-disk binlog file
+                        continue
+                    timestamp = int.from_bytes(frame[0:4], "little")
+                    next_file, _next_pos = parse_rotate(frame[19:-4])
+                    if timestamp == 0:
+                        # fake ROTATE at stream start: names the current
+                        # file, appears in no on-disk binlog
+                        if next_file != self._seg_name:
+                            self._close_segment()
+                            self._open_segment(next_file)
+                        continue
+                    # real rotation: the frame belongs to the closing file
+                    self._seg_file.write(frame)
+                    self._seg_events += 1
+                    self._close_segment()
+                    self._open_segment(next_file)
+            finally:
+                self._close_segment()
+            return self.manifests
         try:
             for frame in conn.iter_event_frames():
                 event_type = frame[4]

@@ -154,6 +154,108 @@ class PacketIO:
             self._pos = pos
             yield payload
 
+    def pump_event_frames(self, write, special: frozenset):
+        """Bulk-consume a binlog dump stream: ordinary event frames
+        (19 B header + payload + CRC; i.e. the packet minus its 0x00 OK
+        marker) accumulate into a pending buffer inside ONE loop and
+        flush via ``write(buf, n_frames)`` per ~1 MB — the per-event
+        generator round-trips and bytes-object churn of
+        ``iter_packets`` → ``iter_event_frames`` are the serial
+        tailer's throughput ceiling. Frames whose event-type byte is in
+        ``special`` (ROTATE / HEARTBEAT) are yielded as ``(event_type,
+        frame)`` AFTER flushing pending, so bulk writes always land in
+        the pre-rotation segment. Returns on EOF; raises MysqlError on
+        ERR (pending frames before the error are flushed — they are
+        valid). 16 MB continuations and tiny packets take the
+        reassembling slow path."""
+        buf = self._buf
+        pos = self._pos
+        recv = self.sock.recv
+        chunk_sz = self.RECV_CHUNK
+        pending = bytearray()
+        npend = 0
+        FLUSH = 1 << 20
+        while True:
+            while len(buf) - pos < 4:
+                if pos:
+                    del buf[:pos]
+                    pos = 0
+                chunk = recv(chunk_sz)
+                if not chunk:
+                    raise ConnectionError("server closed connection mid-packet")
+                buf.extend(chunk)
+            length = buf[pos] | (buf[pos + 1] << 8) | (buf[pos + 2] << 16)
+            self.seq = (buf[pos + 3] + 1) & 0xFF
+            end = pos + 4 + length
+            while len(buf) < end:
+                if pos:
+                    del buf[:pos]
+                    end -= pos
+                    pos = 0
+                chunk = recv(chunk_sz)
+                if not chunk:
+                    raise ConnectionError("server closed connection mid-packet")
+                buf.extend(chunk)
+            marker = buf[pos + 4]
+            if marker == 0x00 and 10 < length < MAX_PACKET:
+                et = buf[pos + 9]  # event type: marker(1) + header byte 4
+                if et not in special:
+                    with memoryview(buf) as mv:
+                        pending += mv[pos + 5 : end]
+                    npend += 1
+                    pos = end
+                    if pos >= FLUSH:
+                        del buf[:pos]
+                        pos = 0
+                    if len(pending) >= FLUSH:
+                        write(pending, npend)
+                        pending = bytearray()
+                        npend = 0
+                    continue
+                frame = bytes(buf[pos + 5 : end])
+                pos = end
+                self._pos = pos
+                if npend:
+                    write(pending, npend)
+                    pending = bytearray()
+                    npend = 0
+                yield et, frame
+                continue
+            # slow path: reassemble the full logical packet (16 MB
+            # continuations, tiny frames, EOF, ERR)
+            payload = bytes(buf[pos + 4 : end])
+            self._pos = pos = end
+            if length == MAX_PACKET:
+                frags = [payload]
+                while length == MAX_PACKET:
+                    header = self._read_exact(4)
+                    length = header[0] | (header[1] << 8) | (header[2] << 16)
+                    self.seq = (header[3] + 1) & 0xFF
+                    frags.append(self._read_exact(length))
+                payload = b"".join(frags)
+                pos = self._pos
+            if npend:
+                write(pending, npend)
+                pending = bytearray()
+                npend = 0
+            if not payload:
+                return
+            marker = payload[0]
+            if marker == 0x00:
+                frame = payload[1:]
+                et = frame[4] if len(frame) > 4 else -1
+                if et in special:
+                    yield et, frame
+                else:
+                    write(frame, 1)
+                continue
+            if marker == 0xFF:
+                code, msg = parse_err(payload)
+                raise MysqlError(code, msg)
+            if is_eof(payload):
+                return
+            raise MysqlError(-1, f"unexpected stream packet 0x{marker:02x}")
+
     def write_packets_bulk(self, payloads, flush_bytes: int = 1 << 18) -> None:
         """Send many small packets with one sendall per ~flush_bytes —
         the server side of the dump stream's syscall amortization."""

@@ -478,3 +478,72 @@ def test_tail_skips_heartbeat_frames(fixture_paths, tmp_path):
     src = os.path.join(seg_dir, "binlog.000001")
     with open(src, "rb") as a, open(first[0].path, "rb") as b:
         assert a.read() == b.read()  # byte-identical despite the heartbeat
+
+
+def test_pump_event_frames_matches_iter_event_frames():
+    """The bulk pump (tailer hot path) must produce byte-identical
+    ordinary-frame output and the same special-frame yields as the
+    per-frame iterator, across small frames, a >16MB continuation
+    frame, heartbeats, rotates, and EOF."""
+    import socket
+    import struct
+    import threading
+
+    from myzql_binlog_connector_ray.kernel.constants import EventType
+    from myzql_binlog_connector_ray.sources.mysql_wire import MAX_PACKET, PacketIO
+
+    def frame(event_type: int, payload: bytes) -> bytes:
+        size = 19 + len(payload)
+        return struct.pack("<IBIIIH", 7, event_type, 1, size, 0, 0) + payload
+
+    frames = [
+        frame(EventType.WRITE_ROWS_EVENT, b"a" * 40),
+        frame(EventType.HEARTBEAT_EVENT, b""),
+        frame(EventType.WRITE_ROWS_EVENT, b"b" * 5),
+        frame(EventType.ROTATE_EVENT, struct.pack("<Q", 4) + b"binlog.000002"),
+        frame(EventType.WRITE_ROWS_EVENT, b"c" * (MAX_PACKET + 100)),  # continuation
+        frame(EventType.UPDATE_ROWS_EVENT, b"d" * 64),
+    ]
+    eof = b"\xfe\x00\x00\x00\x00"
+
+    def run_one(use_pump: bool):
+        a, b = socket.socketpair()
+        sender, receiver = PacketIO(a), PacketIO(b)
+
+        def send():
+            sender.write_packets_bulk([b"\x00" + f for f in frames])
+            sender.write_packets_bulk([eof])
+            a.shutdown(socket.SHUT_WR)
+
+        t = threading.Thread(target=send)
+        t.start()
+        written = bytearray()
+        specials = []
+        special = frozenset(
+            {int(EventType.HEARTBEAT_EVENT), int(EventType.ROTATE_EVENT)}
+        )
+        if use_pump:
+            for et, fr in receiver.pump_event_frames(
+                lambda d, n: written.extend(d), special
+            ):
+                specials.append((int(et), fr))
+        else:
+            for payload in receiver.iter_packets():
+                if not payload:
+                    break
+                if payload[0] == 0xFE and len(payload) < 9:
+                    break
+                fr = payload[1:]
+                if fr[4] in special:
+                    specials.append((int(fr[4]), fr))
+                else:
+                    written.extend(fr)
+        t.join(timeout=10)
+        a.close()
+        b.close()
+        return bytes(written), specials
+
+    got = run_one(True)
+    want = run_one(False)
+    assert got == want
+    assert len(got[1]) == 2  # heartbeat + rotate escaped

@@ -169,6 +169,47 @@ def _apply_parts_task(
     return summaries
 
 
+def gc_stale_staging(lake_dir: str) -> list[str]:
+    """Reclaim staging roots left by ingestors that died mid-stream.
+
+    Each live ingestor holds an exclusive ``flock`` on its root's
+    ``.lease`` file; the kernel releases it on process death. A root
+    whose lease can be acquired (or which has none) is dead weight —
+    its staged-but-unapplied windows are safe to drop because the
+    manifest watermark makes the restarted tailer's replay of those
+    segments idempotent. Returns the removed roots."""
+    import fcntl
+
+    removed = []
+    try:
+        names = os.listdir(lake_dir)
+    except FileNotFoundError:
+        return removed
+    for name in names:
+        if not name.startswith("_stream_staging-"):
+            continue
+        root = os.path.join(lake_dir, name)
+        lease = os.path.join(root, ".lease")
+        try:
+            fd = os.open(lease, os.O_RDWR)
+        except FileNotFoundError:
+            # pre-lease root or partially-created: reclaim
+            shutil.rmtree(root, ignore_errors=True)
+            removed.append(root)
+            continue
+        except OSError:
+            continue
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            os.close(fd)  # owner alive — leave it be
+            continue
+        os.close(fd)
+        shutil.rmtree(root, ignore_errors=True)
+        removed.append(root)
+    return removed
+
+
 class StreamingIngestor:
     """Incremental segment → lake ingest with decode/apply pipelining.
 
@@ -254,6 +295,17 @@ class StreamingIngestor:
         # must not leak into this stream's watermarked windows)
         self.staging_root = os.path.join(lake_dir, f"_stream_staging-{uuid.uuid4().hex[:8]}")
         shutil.rmtree(self.staging_root, ignore_errors=True)
+        os.makedirs(self.staging_root, exist_ok=True)
+        # liveness lease on this staging root: held (flock) for the
+        # ingestor's lifetime, released by the kernel on process death —
+        # gc_stale_staging() on a later run reclaims exactly the roots
+        # whose owner died mid-stream (crash-resume leaves no litter,
+        # and a concurrently LIVE ingestor's staging is never touched)
+        self._lease_fd = os.open(os.path.join(self.staging_root, ".lease"), os.O_CREAT | os.O_RDWR)
+        import fcntl
+
+        fcntl.flock(self._lease_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        gc_stale_staging(lake_dir)
         # submission order == stream order == ordinal order
         self._seg_dirs: list[str] = []
         self._stage_refs: list[ray.ObjectRef] = []
@@ -389,6 +441,10 @@ class StreamingIngestor:
             self._maybe_launch_apply(sink_override=final_sink)
             if self._inflight_tasks:
                 self._reap_apply(block=True)
+        try:
+            os.close(self._lease_fd)  # release the liveness lease
+        except OSError:
+            pass
         shutil.rmtree(self.staging_root, ignore_errors=True)
         if compact:
             dirty = {

@@ -165,3 +165,56 @@ def test_streaming_ingestor_single_slot_accumulates_windows(
     ing.drain()
     assert not os.path.isdir(ing.staging_root)
     pd.testing.assert_frame_equal(_read_sorted(stream_lake), _read_sorted(ref_lake))
+
+
+def test_streaming_ingestor_crash_resume(ray_session, fixture_paths, tmp_path):
+    """An ingestor that dies mid-stream (some windows applied, some
+    only staged) leaves a lake a fresh ingestor resumes correctly: the
+    per-partition watermarks drop every already-applied change on
+    replay, and gc_stale_staging reclaims the dead run's staging root
+    (but never a live one's)."""
+    from myzql_binlog_connector_ray.pipelines.ingest import init_lake, run_ingest
+    from myzql_binlog_connector_ray.pipelines.streaming import (
+        StreamingIngestor,
+        gc_stale_staging,
+    )
+
+    n_parts = 8
+    base = pq.read_table(fixture_paths["base_lake"])
+    ref_lake = str(tmp_path / "ref_lake")
+    init_lake(base, ref_lake, n_parts)
+    run_ingest(fixture_paths["segment_paths"], ref_lake, num_partitions=n_parts, concurrency=2)
+
+    lake = str(tmp_path / "lake")
+    init_lake(base, lake, n_parts)
+
+    # first ingestor: submit a prefix, let some applies land, then "die"
+    import ray as _ray
+
+    crashed = StreamingIngestor(lake, num_partitions=n_parts, sink="delta")
+    prefix = fixture_paths["segment_paths"][:2]
+    for p in prefix:
+        crashed.submit(p)
+    _ray.get(crashed._stage_refs)  # everything staged
+    for _ in range(200):
+        crashed.poll()
+        if crashed.summaries and not crashed._inflight_tasks:
+            break
+    assert crashed.summaries, "crash scenario needs at least one applied window"
+    dead_root = crashed.staging_root
+    os.close(crashed._lease_fd)  # simulate process death (kernel drops flock)
+
+    # live-lease safety: a second LIVE ingestor's root must survive GC
+    live = StreamingIngestor(lake, num_partitions=n_parts, sink="delta")
+    assert os.path.isdir(live.staging_root)
+    assert not os.path.isdir(dead_root), "dead root reclaimed by the new ingestor's GC"
+    removed = gc_stale_staging(lake)
+    assert live.staging_root not in removed and os.path.isdir(live.staging_root)
+
+    # resume: replay the WHOLE stream through the live ingestor —
+    # watermarks drop the already-applied prefix changes
+    for p in fixture_paths["segment_paths"]:
+        live.submit(p)
+        live.poll()
+    live.drain()
+    pd.testing.assert_frame_equal(_read_sorted(lake), _read_sorted(ref_lake))

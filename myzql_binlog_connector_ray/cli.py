@@ -9,7 +9,11 @@ Modes (reference: src/main.zig:85-299):
                 exactly-once manifests (north rule extension);
 - ``tail``    : live MySQL replication tail (sources.mysql_wire) →
                 segment files in segments_dir, ready for the other
-                modes (reference socket mode, src/main.zig:85-299).
+                modes (reference socket mode, src/main.zig:85-299);
+- ``stream``  : tail + concurrent pipelined apply in one command —
+                each segment stages the moment it closes and applies
+                as per-partition windows (pipelines.streaming);
+                cfg.tables switches on multi-table replication.
 
 Usage:
     python -m myzql_binlog_connector_ray.cli <mode> config.json [-v]
@@ -46,7 +50,8 @@ def main(argv=None) -> int:
     parser.add_argument(
         "mode",
         choices=[
-            "stdout", "parquet", "apply", "apply-multi", "compact", "verify", "tail", "bootstrap",
+            "stdout", "parquet", "apply", "apply-multi", "compact", "verify", "tail",
+            "stream", "bootstrap",
         ],
     )
     parser.add_argument("config", help="path to job config JSON")
@@ -99,6 +104,93 @@ def main(argv=None) -> int:
         for m in manifests:
             print(f"{m.segment}: {m.events} events, {m.bytes} bytes -> {m.path}")
         log.info("tailed %d segments into %s", len(manifests), cfg.segments_dir)
+        return 0
+
+    if args.mode == "stream":
+        # live tail + concurrent pipelined apply in ONE command: the
+        # tailer thread closes segments while a StreamingIngestor
+        # stages each on close and applies per-partition windows
+        # (pipelines.streaming). With cfg.tables set, every listed
+        # table replicates into its own lake namespace. Bounded by
+        # to_binlog_file/position if given, else runs to stream EOF.
+        import threading
+        import time as _time
+
+        import ray
+
+        from .kernel.constants import segment_sort_key
+        from .pipelines.streaming import StreamingIngestor
+        from .sources.binlog_tail import tail_binlog_to_segments
+
+        if not ray.is_initialized():
+            ray.init(
+                address="local",
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="INFO" if args.verbose else "ERROR",
+            )
+        try:
+            lake = cfg.lake_dir or os.path.join(cfg.output_dir, "lake")
+            os.makedirs(lake, exist_ok=True)
+            tables = [tuple(t.split(".", 1)) for t in cfg.tables] if cfg.tables else None
+            tail_err: list[BaseException] = []
+
+            def _tail():
+                try:
+                    tail_binlog_to_segments(
+                        cfg.segments_dir,
+                        host=cfg.host or "127.0.0.1",
+                        port=cfg.port,
+                        user=cfg.user or "root",
+                        password=cfg.password or "",
+                        # None → SHOW MASTER STATUS auto-positioning
+                        start_file=cfg.from_binlog_file,
+                        start_position=cfg.from_binlog_position,
+                        stop_file=cfg.to_binlog_file,
+                        stop_position=cfg.to_binlog_position,
+                        resume=args.resume,
+                    )
+                except BaseException as e:  # surfaced after the loop
+                    tail_err.append(e)
+
+            th = threading.Thread(target=_tail, daemon=True)
+            th.start()
+            ing = StreamingIngestor(
+                lake, num_partitions=cfg.num_partitions, sink=cfg.sink, tables=tables
+            )
+            consumed: set[str] = set()
+
+            def _closed() -> list[str]:
+                if not os.path.isdir(cfg.segments_dir):
+                    return []
+                return sorted(
+                    (f for f in os.listdir(cfg.segments_dir) if f.startswith("binlog.")),
+                    key=segment_sort_key,
+                )
+
+            while True:
+                new = [f for f in _closed() if f not in consumed]
+                for f in new:
+                    ing.submit(os.path.join(cfg.segments_dir, f))
+                    consumed.add(f)
+                ing.poll()
+                if not new and not th.is_alive():
+                    break
+                _time.sleep(0.05)
+            th.join()
+            if tail_err:
+                raise tail_err[0]
+            summaries = ing.drain()
+            committed = sum(1 for s in summaries if not s["skipped"])
+            print(
+                f"streamed {len(consumed)} segments into {lake}: "
+                f"{committed}/{len(summaries)} partition commits"
+            )
+            log.info(
+                "stream: %d segments, %d/%d commits", len(consumed), committed, len(summaries)
+            )
+        finally:
+            ray.shutdown()
         return 0
 
     if args.mode == "bootstrap":

@@ -11,6 +11,7 @@ import os
 import subprocess
 import sys
 
+import pyarrow.parquet as pq
 import pytest
 
 
@@ -235,3 +236,53 @@ def test_cli_verify_multi_namespace_root(fixture_paths, tmp_path):
     r = _run_cli("verify", str(cfg_path))
     assert r.returncode == 0, r.stderr[-2000:]
     assert r.stdout.count("partitions ok") == 2
+
+
+def test_cli_stream_mode(ray_session, fixture_paths, tmp_path, monkeypatch):
+    """stream mode: live tail + concurrent pipelined apply in one
+    command — the resulting lake equals a batch run_ingest. Runs
+    main() in-process (the replay server lives in this process);
+    ray.shutdown is a no-op under the session fixture."""
+    import ray
+
+    from myzql_binlog_connector_ray.cli import main
+    from myzql_binlog_connector_ray.pipelines.ingest import init_lake, run_ingest
+    from replay_server import ReplayServer
+
+    monkeypatch.setattr(ray, "shutdown", lambda: None)
+
+    n_parts = 8
+    base = pq.read_table(fixture_paths["base_lake"])
+    ref_lake = str(tmp_path / "ref_lake")
+    init_lake(base, ref_lake, n_parts)
+    run_ingest(fixture_paths["segment_paths"], ref_lake, num_partitions=n_parts, concurrency=2)
+
+    lake = str(tmp_path / "lake")
+    init_lake(base, lake, n_parts)
+    seg_out = tmp_path / "streamed_segments"
+    with ReplayServer(fixture_paths["segments_dir"]) as srv:
+        cfg = {
+            "segments_dir": str(seg_out),
+            "lake_dir": lake,
+            "host": "127.0.0.1",
+            "port": srv.port,
+            "user": "repl",
+            "password": "secret",
+            "from_binlog_file": "binlog.000001",
+            "num_partitions": n_parts,
+            "sink": "delta",
+        }
+        cfg_path = tmp_path / "stream.json"
+        cfg_path.write_text(json.dumps(cfg))
+        assert main(["stream", str(cfg_path)]) == 0
+    assert srv.errors == []
+
+    import pandas as pd
+
+    from myzql_binlog_connector_ray.pipelines.ingest import read_lake
+
+    def _sorted(d):
+        df = read_lake(d).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        return df.reindex(sorted(df.columns), axis=1)
+
+    pd.testing.assert_frame_equal(_sorted(lake), _sorted(ref_lake))

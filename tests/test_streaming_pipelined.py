@@ -4,6 +4,7 @@ equality with the batch pipeline, incremental waves, replay no-op."""
 from __future__ import annotations
 
 import os
+import time
 
 import pandas as pd
 import pyarrow.parquet as pq
@@ -196,10 +197,12 @@ def test_streaming_ingestor_crash_resume(ray_session, fixture_paths, tmp_path):
     for p in prefix:
         crashed.submit(p)
     _ray.get(crashed._stage_refs)  # everything staged
-    for _ in range(200):
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
         crashed.poll()
         if crashed.summaries and not crashed._inflight_tasks:
             break
+        time.sleep(0.05)
     assert crashed.summaries, "crash scenario needs at least one applied window"
     dead_root = crashed.staging_root
     os.close(crashed._lease_fd)  # simulate process death (kernel drops flock)

@@ -3594,11 +3594,13 @@ def lineitem_semijoin_bloom(
         part = hash_part(out, ["l_orderkey"], num_parts)
         return out.append_column("_part", pa.array(part, pa.int32()))
 
+    # stateless-task dispatch (the pii_redaction_stats lesson): the
+    # per-task state is one ray.get of a ~m_bits/8 KB bitmap from the
+    # local object store, so the old 8-actor pool ceiling only cost
+    # probe parallelism at 32 CPUs
     survivors = lineitem.map_batches(
-        BloomPrefilter,
-        fn_constructor_kwargs=dict(bitmap_ref=bitmap_ref),
+        _task_stage(BloomPrefilter, bitmap_ref=bitmap_ref),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     tagged = survivors.union(qual.map_batches(key_side, batch_format="pyarrow"))
 

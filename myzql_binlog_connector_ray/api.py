@@ -18,13 +18,14 @@ from functools import partial
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
 from .fixtures.change_stream import WAVE, materialize
-from .functions.ann import BruteForceTopK, LshBucketer, merge_topk
+from .functions.ann import BruteForceTopK, LshBucketer, list_col_to_matrix, merge_topk
 from .functions.dedup import (
     GramSetter,
     MinHasher,
@@ -558,7 +559,7 @@ def ann_topk_bruteforce(sf_dir: str, *, k: int = 10, num_queries: int = 5):
     per-batch float64 matmul partials, tiny driver-side merge."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     head = _parquet_head(path, ["vec_id", "embedding"], num_queries)
-    q = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    q = list_col_to_matrix(head["embedding"])
     qids = head["vec_id"].to_pylist()
     q_ref = ray.put(q)
 
@@ -732,7 +733,7 @@ def ann_topk_lsh(sf_dir: str, *, k: int = 10, num_queries: int = 5, bits: int = 
     single-bucket probe at the cost of bits+1 buckets scanned."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     head = _parquet_head(path, ["vec_id", "embedding"], num_queries)
-    q = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    q = list_col_to_matrix(head["embedding"])
     qids = head["vec_id"].to_pylist()
     dim = q.shape[1]
     bucketer = LshBucketer(dim=dim, bits=bits)
@@ -777,7 +778,7 @@ def multimodal_decode_fake(sf_dir: str, *, concurrency=(1, 2)):
             {
                 "media_id": t["media_id"],
                 "kind": t["kind"],
-                "feat_dim": pa.array([len(x) for x in t["features"].to_pylist()], pa.int64()),
+                "feat_dim": pc.cast(pc.list_value_length(t["features"]), pa.int64()),
             }
         ),
         batch_format="pyarrow",
@@ -1169,7 +1170,7 @@ def embedding_near_dup_pairs(
 
     def plant(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(t["embedding"])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         r = np.roll(mat, 1, axis=1)
         unit = mat / np.where(norms == 0, 1, norms)
@@ -1177,13 +1178,11 @@ def embedding_near_dup_pairs(
         onorm = np.linalg.norm(orth, axis=1, keepdims=True)
         decoy = mat + norms * orth / np.where(onorm == 0, 1, onorm)
         out_ids = np.concatenate([ids, ids + 1_000_000, ids + 2_000_000])
-        out_mat = np.vstack([mat, mat, decoy])
-        return pa.table(
-            {
-                "vec_id": pa.array(out_ids, pa.int64()),
-                "embedding": pa.array([row.tolist() for row in out_mat], pa.list_(pa.float64())),
-            }
-        )
+        out_mat = np.ascontiguousarray(np.vstack([mat, mat, decoy]))
+        n_out, d = out_mat.shape
+        offsets = pa.array(np.arange(0, (n_out + 1) * d, d, dtype=np.int32))
+        emb = pa.ListArray.from_arrays(offsets, pa.array(out_mat.ravel(), pa.float64()))
+        return pa.table({"vec_id": pa.array(out_ids, pa.int64()), "embedding": emb})
 
     planted = ds.map_batches(plant, batch_format="pyarrow")
     planted = planted.map_batches(
@@ -1204,7 +1203,7 @@ def embedding_near_dup_pairs(
         if len(g) < 2:
             return empty
         ids = np.asarray(g["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        mat = np.asarray(g["embedding"].to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(g["embedding"])
         bucket = g["bucket"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, bucket))
         ids, bucket, mat = ids[order], bucket[order], mat[order]
@@ -1406,10 +1405,10 @@ def ann_topk_ivf(sf_dir: str, *, k: int = 10, num_queries: int = 5, n_lists: int
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     train_head = _parquet_head(path, ["vec_id", "embedding"], 256)
-    sample = np.asarray(train_head["embedding"].to_pylist(), dtype=np.float64)
+    sample = list_col_to_matrix(train_head["embedding"])
     centroids = IvfIndex.train_one_pass(sample, n_lists=n_lists)
     head = train_head.slice(0, num_queries)
-    q = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    q = list_col_to_matrix(head["embedding"])
     qids = head["vec_id"].to_pylist()
     index = IvfIndex(centroids)
     probe_lists = set(int(l) for lists in index.probe(q, nprobe) for l in lists)

@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_counters_multi": api.lake_counters_multi,
         # delta-sink ingest (three waves, no base rewrite) + fold-on-read
         "lake_upsert_lww_delta": api.lake_upsert_lww_delta,
+        "lake_snapshot_asof": api.lake_snapshot_asof,
+        "lake_changelog_tail": api.lake_changelog_tail,
         # pipelined streaming ingest (round-5): stage-on-close raw
         # tasks, contiguous-prefix apply waves, final fold to base
         "lake_upsert_lww_streaming": api.lake_upsert_lww_streaming,
@@ -541,6 +543,32 @@ def oracle_sql() -> dict[str, str]:
         # delta sink: three appended waves folded on read must equal the
         # rewrite sink's final state exactly (associative LWW fold)
         "lake_upsert_lww_delta": _LAKE_FINAL_SQL,
+        # time travel: state AS OF the wave-2 boundary — v2 for %3 keys,
+        # v1 otherwise, no deletes yet, stars not yet added (all-null)
+        "lake_snapshot_asof": f"""
+            WITH d AS ({_D}),
+            s AS (
+              SELECT doc_id, text, lang, repo, path,
+                     CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS v
+              FROM d
+            )
+            SELECT repo, path,
+                   md5(repo || ':' || path || ':v' || v) AS commit,
+                   lang,
+                   CASE WHEN v = 1 THEN text ELSE text || ' [v' || v || ']' END AS content,
+                   CAST(NULL AS BIGINT) AS stars,
+                   sha256(CASE WHEN v = 1 THEN text ELSE text || ' [v' || v || ']' END) AS content_sha256
+            FROM s
+        """,
+        # CDC-out after the wave-2 boundary: wave-3 updates + wave-4
+        # deletes, one row per retained change (keys in both waves
+        # appear twice — the window-aligned history keeps both)
+        "lake_changelog_tail": f"""
+            WITH d AS ({_D})
+            SELECT repo, path, 'UPDATE' AS dml FROM d WHERE doc_id % 9 = 0
+            UNION ALL
+            SELECT repo, path, 'DELETE' AS dml FROM d WHERE doc_id % 5 = 0
+        """,
         # streaming ingest: the incrementally-streamed lake must equal
         # the batch flagship's final state, value-for-value
         "lake_upsert_lww_streaming": _LAKE_FINAL_SQL,

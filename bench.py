@@ -216,6 +216,8 @@ def run_bench() -> dict:
         timed("dedup_keep_best", api.dedup_keep_best)
         timed("lake_reconcile_diff", api.lake_reconcile_diff)
         timed("corpus_mixture_weights", api.corpus_mixture_weights)
+        timed("lake_snapshot_asof", api.lake_snapshot_asof)
+        timed("lake_changelog_tail", api.lake_changelog_tail)
 
         # round-4 pipelines over the bench-scale fixture stream:
         from myzql_binlog_connector_ray.pipelines.ingest import compact_lake, run_ingest_multi

@@ -163,6 +163,77 @@ def lake_upsert_lww_delta(sf_dir: str, *, num_partitions: int = 16, concurrency=
     )
 
 
+def _asof_lake(sf_dir: str, num_partitions: int = 16, concurrency=None) -> str:
+    """Delta lake whose commit windows align with the fixture's DML
+    waves (one ``run_ingest`` pass per wave boundary via the ordinal
+    pushdown): wave 1+2, wave 3, wave 4 — so every delta window holds
+    at most one change per key and both the AS-OF and changelog reads
+    are exact at every window. The manifest watermark makes each later
+    pass skip what earlier passes committed, so replays are no-ops."""
+    import shutil
+
+    from .pipelines.ingest import run_ingest
+
+    fx = _fixtures(sf_dir)
+    lake_dir = os.path.join(fx["root"], f"asof_lake_p{num_partitions}")
+    done = os.path.join(lake_dir, "_ASOF_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        init_lake(pq.read_table(fx["base_lake"]), lake_dir, num_partitions)
+        segs = fx["segment_paths"]
+        for cutoff in (3 * WAVE - 1, 4 * WAVE - 1, None):
+            run_ingest(
+                segs,
+                lake_dir,
+                num_partitions=num_partitions,
+                concurrency=concurrency,
+                sink="delta",
+                max_ordinal=cutoff,
+            )
+        with open(done, "w") as f:
+            f.write("ok")
+    return lake_dir
+
+
+def lake_snapshot_asof(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
+    """Point-in-time (time-travel) lake read: the repos table AS OF the
+    wave-2 boundary — before the schema-evolution wave added ``stars``
+    and before the delete wave — reconstructed from base + delta
+    history with the ordinal-bounded fold (``read_lake_asof``). The
+    oracle recomputes that intermediate state closed-form, so reading
+    one wave too many (v3 content / stars present), one too few (no v2
+    rows), or leaking the deletes all fail the value check."""
+    from .pipelines.ingest import read_lake_asof
+
+    lake_dir = _asof_lake(sf_dir, num_partitions, concurrency)
+    return read_lake_asof(lake_dir, 3 * WAVE - 1).map_batches(
+        lambda t: t.select(FINAL_COLUMNS).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
+
+
+def lake_changelog_tail(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
+    """CDC-out: the retained change feed AFTER the wave-2 boundary —
+    wave-3 updates + wave-4 deletes — read from the delta history
+    (``read_lake_changelog``), as (repo, path, dml) rows a downstream
+    consumer would re-apply. Keys hit by both waves must appear twice
+    (window-aligned commits retain both changes); emitting only the
+    final survivor, or folding deletes away, fails the row count."""
+    from .pipelines.ingest import read_lake_changelog
+
+    lake_dir = _asof_lake(sf_dir, num_partitions, concurrency)
+    empty = pa.table({c: pa.array([], pa.string()) for c in ("repo", "path", "dml")})
+
+    def project(t: pa.Table) -> pa.Table:
+        if not t.num_rows:  # partition with no changes in the window
+            return empty
+        return t.select(["repo", "path", "dml"]).replace_schema_metadata(None)
+
+    return read_lake_changelog(lake_dir, lo=3 * WAVE - 1).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
 def lake_upsert_lww_streaming(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
     """Pipelined streaming ingest (round-5): segments feed a
     StreamingIngestor one at a time — each decode+stage task launches

@@ -14,6 +14,12 @@ Modes (reference: src/main.zig:85-299):
                 each segment stages the moment it closes and applies
                 as per-partition windows (pipelines.streaming);
                 cfg.tables switches on multi-table replication.
+- ``asof``    : time-travel read — the lake state AS OF --watermark,
+                written as parquet to output_dir; with no --watermark
+                lists the lake's valid snapshot boundaries;
+- ``changelog``: CDC-out — the retained change rows with
+                --lo < ordinal <= --hi from the delta history,
+                written as parquet to output_dir.
 
 Usage:
     python -m myzql_binlog_connector_ray.cli <mode> config.json [-v]
@@ -51,7 +57,7 @@ def main(argv=None) -> int:
         "mode",
         choices=[
             "stdout", "parquet", "apply", "apply-multi", "compact", "verify", "tail",
-            "stream", "bootstrap",
+            "stream", "bootstrap", "asof", "changelog",
         ],
     )
     parser.add_argument("config", help="path to job config JSON")
@@ -73,6 +79,25 @@ def main(argv=None) -> int:
         action="store_true",
         help="tail mode: continue after the last closed segment in segments_dir "
         "(re-tails a partial last segment from its start)",
+    )
+    parser.add_argument(
+        "--watermark",
+        type=int,
+        default=None,
+        help="asof mode: read the lake state AS OF this ordinal watermark "
+        "(omit to list the lake's valid snapshot boundaries)",
+    )
+    parser.add_argument(
+        "--lo",
+        type=int,
+        default=-1,
+        help="changelog mode: exclusive lower ordinal bound (default -1 = from the start)",
+    )
+    parser.add_argument(
+        "--hi",
+        type=int,
+        default=None,
+        help="changelog mode: inclusive upper ordinal bound (default: open-ended)",
     )
     args = parser.parse_args(argv)
 
@@ -218,6 +243,64 @@ def main(argv=None) -> int:
             rows = sum(s["rows"] for s in summaries)
             print(f"bootstrapped {lake}: {len(summaries)} partitions, {rows} rows")
             log.info("bootstrap: %d rows into %d partitions", rows, len(summaries))
+        finally:
+            ray.shutdown()
+        return 0
+
+    if args.mode in ("asof", "changelog"):
+        # time-travel / CDC-out reads over an existing lake dir. These
+        # operate on ONE partitioned lake (part=* dirs); for a
+        # multi-table root, point lake_dir at the namespace subdir.
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(
+                address="local",
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="INFO" if args.verbose else "ERROR",
+            )
+        try:
+            lake = cfg.lake_dir or os.path.join(cfg.output_dir, "lake")
+            if not os.path.isdir(lake):
+                raise SystemExit(f"lake directory does not exist: {lake}")
+            if not any(d.startswith("part=") for d in os.listdir(lake)):
+                raise SystemExit(
+                    f"{lake} holds table namespaces, not partitions — point "
+                    "lake_dir at one namespace subdir (e.g. app.repos)"
+                )
+            from .pipelines.ingest import read_lake_asof, read_lake_changelog, snapshot_points
+
+            if args.mode == "asof" and args.watermark is None:
+                pts = snapshot_points(lake)
+                print(f"snapshot boundaries for {lake}: {len(pts)}")
+                for w in pts:
+                    print(f"  watermark={w}")
+                return 0
+            try:
+                if args.mode == "asof":
+                    ds = read_lake_asof(lake, args.watermark)
+                    out = os.path.join(cfg.output_dir, f"asof-{args.watermark}")
+                else:
+                    ds = read_lake_changelog(lake, lo=args.lo, hi=args.hi)
+                    out = os.path.join(
+                        cfg.output_dir,
+                        f"changelog-{args.lo}-{'head' if args.hi is None else args.hi}",
+                    )
+                os.makedirs(out, exist_ok=True)
+                # write once, count from the written files (no double execution)
+                ds.write_parquet(out)
+                import pyarrow.dataset as pads
+
+                n = pads.dataset(out, format="parquet").count_rows()
+                print(f"{args.mode} written to {out}: {n} rows")
+                log.info("%s: %d rows -> %s", args.mode, n, out)
+            except Exception as e:  # surface retention errors cleanly
+                if "SnapshotUnavailable" in str(e) or "compacted_through" in str(e):
+                    print(f"error: {args.mode} window predates the compaction horizon", file=sys.stderr)
+                    log.error("%s below retention: %s", args.mode, e)
+                    return 2
+                raise
         finally:
             ray.shutdown()
         return 0

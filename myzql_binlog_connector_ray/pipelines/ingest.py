@@ -604,6 +604,79 @@ def read_lake_state(
     )
 
 
+def read_lake_asof(
+    lake_dir: str,
+    watermark: int,
+    *,
+    key_cols: Optional[list[str]] = None,
+    final_columns: Optional[list[str]] = None,
+    final_types: Optional[dict] = None,
+) -> ray.data.Dataset:
+    """Point-in-time (time-travel) lake read: one task per partition
+    folds base + delta rows with ``ordinal <= watermark`` into the
+    state AS OF that watermark. Exact at delta-commit boundaries;
+    raises ``SnapshotUnavailable`` below the compaction horizon (see
+    ``stages.apply_arrow.read_asof_parts`` for the full contract)."""
+    from functools import partial as _partial
+
+    from ..stages.apply_arrow import read_asof_parts
+
+    parts = _lake_parts(lake_dir)
+    return ray.data.from_items(
+        [{"part": p} for p in parts], override_num_blocks=max(1, len(parts))
+    ).map_batches(
+        _partial(
+            read_asof_parts,
+            lake_dir=lake_dir,
+            watermark=watermark,
+            key_cols=key_cols,
+            final_columns=final_columns or FINAL_COLUMNS,
+            final_types=final_types or REPOS_TYPED_TYPES,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def read_lake_changelog(
+    lake_dir: str, lo: int = -1, hi: Optional[int] = None
+) -> ray.data.Dataset:
+    """CDC-out feed: the retained change rows with ``lo < ordinal <=
+    hi`` from the lake's delta history, one task per partition — keys,
+    dml, ordinal and payloads as committed, for downstream re-apply or
+    audit."""
+    from functools import partial as _partial
+
+    from ..stages.apply_arrow import read_changelog_parts
+
+    parts = _lake_parts(lake_dir)
+    return ray.data.from_items(
+        [{"part": p} for p in parts], override_num_blocks=max(1, len(parts))
+    ).map_batches(
+        _partial(read_changelog_parts, lake_dir=lake_dir, lo=lo, hi=hi),
+        batch_format="pyarrow",
+    )
+
+
+def snapshot_points(lake_dir: str) -> list[int]:
+    """The lake's valid time-travel boundaries: every live delta
+    commit's watermark (ascending, deduplicated across partitions).
+    ``read_lake_asof`` at any of these is exact. Driver-side directory
+    walk over the manifests/partition dirs — O(#files), no data read."""
+    import glob
+
+    from ..state.manifest import delta_watermark_of, partition_dir, read_manifest
+
+    points = set()
+    for p in _lake_parts(lake_dir):
+        manifest = read_manifest(lake_dir, p)
+        compacted_through = int((manifest or {}).get("compacted_through", -1))
+        for f in glob.glob(os.path.join(partition_dir(lake_dir, p), "delta-*.parquet")):
+            w = delta_watermark_of(f)
+            if w > compacted_through:
+                points.add(w)
+    return sorted(points)
+
+
 def verify_lake(lake_dir: str) -> list[dict]:
     """Distributed lineage-integrity audit: one task per partition
     recomputes the state digest + row count from the on-disk base and

@@ -500,6 +500,126 @@ def read_state_parts(
     return pa.concat_tables(outs, promote_options="permissive")
 
 
+class SnapshotUnavailable(Exception):
+    """The requested point-in-time watermark predates this partition's
+    compaction horizon — the delta history needed to reconstruct it has
+    been folded into the base and unlinked (retention limit)."""
+
+
+def read_asof_parts(
+    batch: pa.Table,
+    lake_dir: str = "",
+    watermark: int = 0,
+    key_cols: Optional[list[str]] = None,
+    final_columns: Optional[list[str]] = None,
+    final_types: Optional[dict] = None,
+) -> pa.Table:
+    """Point-in-time (time-travel) fold: each input row {"part"} yields
+    that partition's state AS OF ``watermark`` — base + delta rows with
+    ``ordinal <= watermark`` folded LWW, finalized like a normal read.
+
+    Exactness contract: a snapshot at any delta-commit boundary is
+    exact (every retained change at or below it is present, every later
+    one excluded). Inside a straddling delta window the per-window LWW
+    reduce has already collapsed per-key history, so mid-window
+    watermarks are exact only when each key changes at most once per
+    window — commit windows aligned with transaction boundaries give
+    that for free. Reads below a partition's ``compacted_through``
+    raise :class:`SnapshotUnavailable` (the history is gone — the
+    retention limit every delta lake has).
+
+    Scale: one task per partition; the per-file ``ordinal`` filter is a
+    parquet row-group predicate, so delta files entirely above the
+    watermark are skipped from their footer stats alone.
+    """
+    import glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import list_delta_files, partition_dir, read_manifest
+
+    outs = []
+    for p in batch["part"].to_pylist():
+        p = int(p)
+        manifest = read_manifest(lake_dir, p)
+        compacted_through = int((manifest or {}).get("compacted_through", -1))
+        if compacted_through > watermark:
+            raise SnapshotUnavailable(
+                f"part={p}: asof watermark {watermark} < compacted_through "
+                f"{compacted_through}; the delta history below the compaction "
+                f"horizon is gone"
+            )
+        files = sorted(glob.glob(partition_dir(lake_dir, p) + "/*.parquet"))
+        base_files = [f for f in files if not _os.path.basename(f).startswith("delta-")]
+        t = (
+            pa.concat_tables([pq.read_table(f) for f in base_files], promote_options="permissive")
+            if base_files
+            else None
+        )
+        deltas = list_delta_files(lake_dir, p, compacted_through)
+        if deltas:
+            dt = pa.concat_tables(
+                [pq.read_table(f, filters=[("ordinal", "<=", watermark)]) for f in deltas],
+                promote_options="permissive",
+            )
+            if dt.num_rows:
+                t = lww_fold_arrow(t, dt, key_cols)
+        if t is None or not t.num_rows:
+            continue
+        outs.append(_finalize_arrow(t, final_columns, final_types))
+    if not outs:
+        types = final_types or {}
+        return pa.table(
+            {c: pa.array([], types.get(c, pa.string())) for c in (final_columns or ["part"])}
+        )
+    return pa.concat_tables(outs, promote_options="permissive")
+
+
+def read_changelog_parts(
+    batch: pa.Table,
+    lake_dir: str = "",
+    lo: int = -1,
+    hi: Optional[int] = None,
+) -> pa.Table:
+    """CDC-out: each input row {"part"} yields that partition's retained
+    change rows with ``lo < ordinal <= hi`` from the live delta history
+    — keys, dml, ordinal and payload columns exactly as committed, so a
+    downstream consumer can re-apply or audit the window. Rows are the
+    per-window LWW-reduced survivors (same exactness contract as
+    :func:`read_asof_parts`: windows aligned with transaction
+    boundaries retain every change). Raises
+    :class:`SnapshotUnavailable` when ``lo`` predates the compaction
+    horizon."""
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import list_delta_files, read_manifest
+
+    filters = [("ordinal", ">", lo)]
+    if hi is not None:
+        filters.append(("ordinal", "<=", hi))
+    outs = []
+    for p in batch["part"].to_pylist():
+        p = int(p)
+        manifest = read_manifest(lake_dir, p)
+        compacted_through = int((manifest or {}).get("compacted_through", -1))
+        if compacted_through > lo:
+            raise SnapshotUnavailable(
+                f"part={p}: changelog lower bound {lo} < compacted_through "
+                f"{compacted_through}; changes at or below the compaction "
+                f"horizon are folded away"
+            )
+        for f in list_delta_files(lake_dir, p, compacted_through):
+            t = pq.read_table(f, filters=filters)
+            if t.num_rows:
+                outs.append(t)
+    # generator contract: a partition slice with no changes in the
+    # window yields NOTHING (never a schema-less placeholder block —
+    # zero-column bundles break downstream schema unification)
+    if outs:
+        yield pa.concat_tables(outs, promote_options="permissive")
+
+
 class ApplyStagedPartition:
     """Reduce side of the staged exchange: one call per batch of
     partition ids; reads that partition's staged change files from the

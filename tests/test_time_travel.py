@@ -1,0 +1,168 @@
+"""Time-travel (AS-OF) reads + changelog (CDC-out) over the delta lake.
+
+Snapshot semantics: ``read_lake_asof(W)`` folds base + delta rows with
+ordinal <= W; exact at delta-commit boundaries; raises
+SnapshotUnavailable below the compaction horizon (retention). The
+changelog read returns the retained change rows in an ordinal window.
+The lake here commits one delta window per fixture DML wave (the same
+wave-aligned construction as api._asof_lake), so every boundary is
+exact.
+"""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from myzql_binlog_connector_ray.fixtures.change_stream import WAVE
+from myzql_binlog_connector_ray.pipelines.ingest import (
+    FINAL_COLUMNS,
+    compact_lake,
+    init_lake,
+    read_lake_asof,
+    read_lake_changelog,
+    read_lake_state,
+    run_ingest,
+    snapshot_points,
+)
+W2 = 3 * WAVE - 1  # end of wave 2 (v2 updates applied; no stars, no deletes)
+W3 = 4 * WAVE - 1  # end of wave 3 (schema evolution wave applied)
+
+
+@pytest.fixture(scope="module")
+def asof_lake(ray_session, fixture_paths, tmp_path_factory):
+    """Delta lake with one commit window per fixture wave (ordinal
+    pushdown per pass), so AS-OF and changelog are exact everywhere."""
+    lake = str(tmp_path_factory.mktemp("asoflake"))
+    init_lake(pq.read_table(fixture_paths["base_lake"]), lake, 8)
+    for cutoff in (W2, W3, None):
+        run_ingest(
+            fixture_paths["segment_paths"], lake, num_partitions=8, sink="delta", max_ordinal=cutoff
+        )
+    return lake
+
+
+def _df(ds):
+    return ds.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def test_asof_at_head_equals_state(asof_lake):
+    head = _df(read_lake_asof(asof_lake, 10**15))[FINAL_COLUMNS]
+    state = _df(read_lake_state(asof_lake))[FINAL_COLUMNS]
+    assert head.equals(state)
+
+
+def test_asof_wave2_snapshot_semantics(asof_lake):
+    snap = _df(read_lake_asof(asof_lake, W2))
+    final = _df(read_lake_state(asof_lake))
+    # deletes (wave 4) not applied yet: snapshot strictly larger
+    assert len(snap) > len(final)
+    # schema-evolution wave (3) not applied: stars all-null, no v3 text
+    assert snap["stars"].isna().all()
+    assert not snap["content"].str.endswith("[v3]").any()
+    # wave 2 IS applied: v2 updates visible
+    assert snap["content"].str.endswith("[v2]").any()
+    # keys gone from final (deleted) still exist in the snapshot
+    snap_keys = set(zip(snap["repo"], snap["path"]))
+    final_keys = set(zip(final["repo"], final["path"]))
+    assert final_keys < snap_keys
+
+
+def test_snapshot_points_are_readable_boundaries(asof_lake):
+    pts = snapshot_points(asof_lake)
+    assert pts == sorted(pts) and len(pts) >= 3  # >= one window per wave group
+    # every advertised boundary must be exactly readable
+    sizes = [read_lake_asof(asof_lake, w).count() for w in (pts[0], pts[-1])]
+    assert all(s > 0 for s in sizes)
+
+
+def test_changelog_windows_partition_the_stream(asof_lake):
+    tail = read_lake_changelog(asof_lake, lo=W2).to_pandas()
+    # wave 3 updates + wave 4 deletes, both retained (window-aligned)
+    assert set(tail["dml"]) == {"UPDATE", "DELETE"}
+    assert (tail["ordinal"] > W2).all()
+    head = read_lake_changelog(asof_lake, lo=-1, hi=W2).to_pandas()
+    assert (head["ordinal"] <= W2).all()
+    full = read_lake_changelog(asof_lake, lo=-1).to_pandas()
+    assert len(head) + len(tail) == len(full)
+    # a key updated in wave 3 AND deleted in wave 4 appears twice
+    dup = tail.groupby(["repo", "path"]).size()
+    assert (dup == 2).any()
+
+
+def test_retention_horizon_raises(asof_lake, tmp_path):
+    import shutil
+
+    lake = str(tmp_path / "compacted")
+    shutil.copytree(asof_lake, lake)
+    compact_lake(lake)
+    assert not glob.glob(os.path.join(lake, "part=*", "delta-*.parquet"))
+    # Ray Data wraps task exceptions (RayTaskError/UserCodeException);
+    # match on the surfaced error text instead of the class
+    with pytest.raises(Exception, match="SnapshotUnavailable|compacted_through"):
+        read_lake_asof(lake, W2).materialize()
+    with pytest.raises(Exception, match="SnapshotUnavailable|compacted_through"):
+        read_lake_changelog(lake, lo=W2).materialize()
+    # the head snapshot is still fine (asof >= compacted_through)
+    assert read_lake_asof(lake, 10**15).count() > 0
+    assert snapshot_points(lake) == []
+
+
+def _run_cli(*args):
+    import subprocess
+    import sys as _sys
+
+    return subprocess.run(
+        [_sys.executable, "-m", "myzql_binlog_connector_ray.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+
+
+def test_cli_asof_and_changelog_modes(asof_lake, tmp_path):
+    """CLI surface: `asof` lists boundaries / writes a point-in-time
+    snapshot; `changelog` writes the CDC-out window; a below-retention
+    read exits 2 with a clean message (no raw Ray traceback contract)."""
+    import json
+    import shutil
+
+    import pandas as pd
+
+    cfg = {"segments_dir": "/tmp", "output_dir": str(tmp_path / "out"), "lake_dir": asof_lake}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    # no --watermark: lists the valid snapshot boundaries
+    r = _run_cli("asof", str(cfg_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    # boundaries are the deltas' ACTUAL max ordinals (not requested
+    # cutoffs) — at least one commit window per wave group
+    assert "snapshot boundaries" in r.stdout
+    assert r.stdout.count("watermark=") >= 3
+
+    # point-in-time snapshot written as parquet
+    r = _run_cli("asof", str(cfg_path), "--watermark", str(W2))
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = os.path.join(cfg["output_dir"], f"asof-{W2}")
+    snap = pd.read_parquet(out)
+    assert len(snap) > 0 and snap["stars"].isna().all()
+
+    # CDC-out window after the wave-2 boundary
+    r = _run_cli("changelog", str(cfg_path), "--lo", str(W2))
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = os.path.join(cfg["output_dir"], f"changelog-{W2}-head")
+    tail = pd.read_parquet(out)
+    assert set(tail["dml"]) == {"UPDATE", "DELETE"} and (tail["ordinal"] > W2).all()
+
+    # below the compaction horizon: clean exit 2, no stacktrace contract
+    lake2 = str(tmp_path / "compacted")
+    shutil.copytree(asof_lake, lake2)
+    compact_lake(lake2)
+    cfg2_path = tmp_path / "cfg2.json"
+    cfg2_path.write_text(json.dumps(dict(cfg, lake_dir=lake2)))
+    r = _run_cli("asof", str(cfg2_path), "--watermark", str(W2))
+    assert r.returncode == 2, (r.returncode, r.stderr[-2000:])
+    assert "compaction horizon" in r.stderr

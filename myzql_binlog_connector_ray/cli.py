@@ -264,37 +264,71 @@ def main(argv=None) -> int:
             lake = cfg.lake_dir or os.path.join(cfg.output_dir, "lake")
             if not os.path.isdir(lake):
                 raise SystemExit(f"lake directory does not exist: {lake}")
-            if not any(d.startswith("part=") for d in os.listdir(lake)):
-                raise SystemExit(
-                    f"{lake} holds table namespaces, not partitions — point "
-                    "lake_dir at one namespace subdir (e.g. app.repos)"
-                )
-            from .pipelines.ingest import read_lake_asof, read_lake_changelog, snapshot_points
+            from .pipelines.ingest import (
+                TABLE_CONFIGS,
+                read_lake_asof,
+                read_lake_changelog,
+                snapshot_points,
+                table_ns,
+            )
+
+            # a multi-table root holds namespace subdirs; the ordinal
+            # watermark is the GLOBAL commit ordinal, so one watermark
+            # over every namespace is a cross-table CONSISTENT snapshot
+            if any(d.startswith("part=") for d in os.listdir(lake)):
+                targets = [(None, lake)]
+            else:
+                targets = [
+                    (d, os.path.join(lake, d))
+                    for d in sorted(os.listdir(lake))
+                    if os.path.isdir(os.path.join(lake, d)) and not d.startswith("_")
+                ]
+                if not targets:
+                    raise SystemExit(f"no partitions or table namespaces under {lake}")
 
             if args.mode == "asof" and args.watermark is None:
-                pts = snapshot_points(lake)
-                print(f"snapshot boundaries for {lake}: {len(pts)}")
-                for w in pts:
-                    print(f"  watermark={w}")
+                for ns, tgt in targets:
+                    pts = snapshot_points(tgt)
+                    print(f"snapshot boundaries for {tgt}: {len(pts)}")
+                    for w in pts:
+                        print(f"  watermark={w}")
                 return 0
-            try:
-                if args.mode == "asof":
-                    ds = read_lake_asof(lake, args.watermark)
-                    out = os.path.join(cfg.output_dir, f"asof-{args.watermark}")
-                else:
-                    ds = read_lake_changelog(lake, lo=args.lo, hi=args.hi)
-                    out = os.path.join(
-                        cfg.output_dir,
-                        f"changelog-{args.lo}-{'head' if args.hi is None else args.hi}",
-                    )
-                os.makedirs(out, exist_ok=True)
-                # write once, count from the written files (no double execution)
-                ds.write_parquet(out)
-                import pyarrow.dataset as pads
 
-                n = pads.dataset(out, format="parquet").count_rows()
-                print(f"{args.mode} written to {out}: {n} rows")
-                log.info("%s: %d rows -> %s", args.mode, n, out)
+            cfg_by_ns = {table_ns(tt): c for tt, c in TABLE_CONFIGS.items()}
+            suffix = (
+                f"asof-{args.watermark}"
+                if args.mode == "asof"
+                else f"changelog-{args.lo}-{'head' if args.hi is None else args.hi}"
+            )
+            try:
+                for ns, tgt in targets:
+                    if args.mode == "asof":
+                        kw = {}
+                        if ns is not None:
+                            tc = cfg_by_ns.get(ns)
+                            if tc is None:
+                                raise SystemExit(
+                                    f"no TABLE_CONFIGS entry for namespace {ns} — "
+                                    "cannot finalize its asof schema"
+                                )
+                            kw = dict(
+                                key_cols=tc["keys"],
+                                final_columns=tc["final_columns"],
+                                final_types=tc["types"],
+                            )
+                        ds = read_lake_asof(tgt, args.watermark, **kw)
+                    else:
+                        # changelog rows are schema-agnostic (as committed)
+                        ds = read_lake_changelog(tgt, lo=args.lo, hi=args.hi)
+                    out = os.path.join(cfg.output_dir, suffix, ns or "")
+                    os.makedirs(out, exist_ok=True)
+                    # write once, count from the written files (no double execution)
+                    ds.write_parquet(out)
+                    import pyarrow.dataset as pads
+
+                    n = pads.dataset(out, format="parquet").count_rows()
+                    print(f"{args.mode} written to {out}: {n} rows")
+                    log.info("%s: %d rows -> %s", args.mode, n, out)
             except Exception as e:  # surface retention errors cleanly
                 if "SnapshotUnavailable" in str(e) or "compacted_through" in str(e):
                     print(f"error: {args.mode} window predates the compaction horizon", file=sys.stderr)

@@ -166,3 +166,48 @@ def test_cli_asof_and_changelog_modes(asof_lake, tmp_path):
     r = _run_cli("asof", str(cfg2_path), "--watermark", str(W2))
     assert r.returncode == 2, (r.returncode, r.stderr[-2000:])
     assert "compaction horizon" in r.stderr
+
+
+def test_cli_asof_changelog_multi_table_root(fixture_paths, tmp_path):
+    """Multi-table lake root: one watermark over every namespace is a
+    cross-table CONSISTENT snapshot (the ordinal is the global commit
+    ordinal); changelog descends per namespace too."""
+    import json
+
+    import pandas as pd
+
+    work = tmp_path / "multi"
+    work.mkdir()
+    cfg = {
+        "segments_dir": fixture_paths["segments_dir"],
+        "output_dir": str(work / "out"),
+        "lake_dir": str(work / "lake"),
+        "num_partitions": 4,
+        "sink": "delta",
+        "tables": ["app.repos", "metrics.counters"],
+    }
+    cfg_path = work / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    r = _run_cli("apply-multi", str(cfg_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # boundary listing prints every namespace
+    r = _run_cli("asof", str(cfg_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "app.repos" in r.stdout and "metrics.counters" in r.stdout
+
+    # head snapshot: per-namespace parquet, both non-empty
+    r = _run_cli("asof", str(cfg_path), "--watermark", str(10**15))
+    assert r.returncode == 0, r.stderr[-2000:]
+    for ns in ("app.repos", "metrics.counters"):
+        df = pd.read_parquet(os.path.join(cfg["output_dir"], f"asof-{10**15}", ns))
+        assert len(df) > 0
+    # the repos snapshot carries the finalized schema, not raw deltas
+    repos = pd.read_parquet(os.path.join(cfg["output_dir"], f"asof-{10**15}", "app.repos"))
+    assert "content_sha256" in repos.columns and "dml" not in repos.columns
+
+    # changelog window over the root: raw committed change rows per ns
+    r = _run_cli("changelog", str(cfg_path), "--lo", "-1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    ch = pd.read_parquet(os.path.join(cfg["output_dir"], "changelog--1-head", "app.repos"))
+    assert "ordinal" in ch.columns and len(ch) > 0

@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_upsert_lww_delta": api.lake_upsert_lww_delta,
         "lake_snapshot_asof": api.lake_snapshot_asof,
         "lake_changelog_tail": api.lake_changelog_tail,
+        "lake_changelog_follow": api.lake_changelog_follow,
         # pipelined streaming ingest (round-5): stage-on-close raw
         # tasks, contiguous-prefix apply waves, final fold to base
         "lake_upsert_lww_streaming": api.lake_upsert_lww_streaming,
@@ -568,6 +569,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, 'UPDATE' AS dml FROM d WHERE doc_id % 9 = 0
             UNION ALL
             SELECT repo, path, 'DELETE' AS dml FROM d WHERE doc_id % 5 = 0
+        """,
+        # CDC-out follower: one window per published commit frontier.
+        # Window 1 spans waves 1+2 (one ingest pass), so the per-window
+        # LWW reduce keeps only the LAST change for keys hit by both
+        # (insert %4 then update %3 → the UPDATE survives for %12 keys)
+        "lake_changelog_follow": f"""
+            WITH d AS ({_D})
+            SELECT repo, path, 'INSERT' AS dml, CAST(1 AS BIGINT) AS window_no
+            FROM d WHERE doc_id % 4 = 0 AND doc_id % 12 <> 0
+            UNION ALL
+            SELECT repo, path, 'UPDATE' AS dml, CAST(1 AS BIGINT) AS window_no
+            FROM d WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT repo, path, 'UPDATE' AS dml, CAST(2 AS BIGINT) AS window_no
+            FROM d WHERE doc_id % 9 = 0
+            UNION ALL
+            SELECT repo, path, 'DELETE' AS dml, CAST(3 AS BIGINT) AS window_no
+            FROM d WHERE doc_id % 5 = 0
         """,
         # streaming ingest: the incrementally-streamed lake must equal
         # the batch flagship's final state, value-for-value

@@ -234,6 +234,52 @@ def lake_changelog_tail(sf_dir: str, *, num_partitions: int = 16, concurrency=No
     )
 
 
+def lake_changelog_follow(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
+    """Live CDC-out follower end-to-end: three ingest waves land in a
+    fresh delta lake, each publishing the lake-level commit frontier;
+    ``follow_changelog`` yields one contiguous ``(lo, hi]`` window per
+    frontier advance, and the result is every window's retained change
+    rows tagged with its window number. The oracle recomputes the
+    per-window survivors closed-form — waves 1+2 share a commit window,
+    so a key inserted (%4) AND updated (%3) there retains only the
+    UPDATE (per-window LWW), while the %9 updates and %5 deletes arrive
+    as their own windows. Missing a window, double-reading one, or
+    leaking a later wave into an earlier window all fail the check."""
+    import shutil
+    import tempfile
+
+    from .pipelines.ingest import follow_changelog, run_ingest
+
+    fx = _fixtures(sf_dir)
+    work = tempfile.mkdtemp(prefix="follow_lake_")
+    try:
+        lake = os.path.join(work, "lake")
+        init_lake(pq.read_table(fx["base_lake"]), lake, num_partitions)
+        gen = follow_changelog(lake, poll_interval=0.05, until=4 * WAVE, timeout=60)
+        outs = []
+        for win_no, cutoff in enumerate((3 * WAVE - 1, 4 * WAVE - 1, None), start=1):
+            run_ingest(
+                fx["segment_paths"],
+                lake,
+                num_partitions=num_partitions,
+                concurrency=concurrency,
+                sink="delta",
+                max_ordinal=cutoff,
+            )
+            _lo, _hi, ds = next(gen)
+            # windows are small (change rows only) — materialize per block
+            for blk in ray.get(ds.to_arrow_refs()):
+                if blk.num_rows:
+                    outs.append(
+                        blk.select(["repo", "path", "dml"]).append_column(
+                            "window_no", pa.array([win_no] * blk.num_rows, pa.int64())
+                        )
+                    )
+        return pa.concat_tables(outs).replace_schema_metadata(None)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def lake_upsert_lww_streaming(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
     """Pipelined streaming ingest (round-5): segments feed a
     StreamingIngestor one at a time — each decode+stage task launches

@@ -99,6 +99,13 @@ def main(argv=None) -> int:
         default=None,
         help="changelog mode: inclusive upper ordinal bound (default: open-ended)",
     )
+    parser.add_argument(
+        "--retain-after",
+        type=int,
+        default=None,
+        help="compact mode: retention horizon — fold only delta windows at or "
+        "below this ordinal, keeping later ones live for time travel",
+    )
     args = parser.parse_args(argv)
 
     from .logging_config import get_logger, init as init_logging, quiet_empty_partition_warnings
@@ -372,9 +379,13 @@ def main(argv=None) -> int:
                 if args.mode == "compact":
                     from .pipelines.ingest import compact_lake
 
-                    summaries = compact_lake(tgt)
+                    summaries = compact_lake(tgt, retain_after=args.retain_after)
                     compacted = sum(1 for s in summaries if not s["skipped"])
-                    print(f"compacted {tgt}: {compacted}/{len(summaries)} partitions folded")
+                    retained = sum(int(s.get("retained", 0)) for s in summaries)
+                    print(
+                        f"compacted {tgt}: {compacted}/{len(summaries)} partitions folded"
+                        + (f", {retained} delta windows retained" if retained else "")
+                    )
                     log.info("compact: %d/%d partitions", compacted, len(summaries))
                 else:
                     from .pipelines.ingest import verify_lake

@@ -472,6 +472,12 @@ def run_ingest(
         "ingest: %d segments → %d/%d partitions committed (%d rows)",
         len(segment_paths), committed, len(rows), sum(s.get("rows", 0) for s in rows),
     )
+    if rows:
+        # wave fully committed across every touched partition → advance
+        # the lake-level commit frontier (what changelog followers tail)
+        from ..state.manifest import publish_frontier
+
+        publish_frontier(lake_dir, max(int(s.get("watermark", -1)) for s in rows))
     return rows
 
 
@@ -557,6 +563,18 @@ def run_ingest_multi(
         "multi-ingest: %d segments → %d tables, %d (table, partition) commits",
         len(segment_paths), len(tables), sum(1 for s in rows if not s.get("skipped")),
     )
+    if rows:
+        # per-namespace commit frontier (changelog followers tail it)
+        from ..state.manifest import publish_frontier
+
+        by_ns: dict = {}
+        for s in rows:
+            ns = s.get("table_ns", "")
+            w = int(s.get("watermark", -1))
+            if w > by_ns.get(ns, -1):
+                by_ns[ns] = w
+        for ns, w in by_ns.items():
+            publish_frontier(os.path.join(lake_root, ns) if ns else lake_root, w)
     return rows
 
 
@@ -677,6 +695,56 @@ def snapshot_points(lake_dir: str) -> list[int]:
     return sorted(points)
 
 
+def follow_changelog(
+    lake_dir: str,
+    from_watermark: int = -1,
+    *,
+    poll_interval: float = 0.2,
+    until: Optional[int] = None,
+    timeout: Optional[float] = None,
+):
+    """Live CDC-out follower over a delta-sink lake: a generator that
+    tails the lake's commit frontier (``state.manifest.read_frontier``,
+    published by ``run_ingest`` once per fully-committed wave) and
+    yields ``(lo, hi, Dataset)`` for each new window — the retained
+    change rows with ``lo < ordinal <= hi``, complete across every
+    partition. This is the downstream-consumer surface: re-apply each
+    window in order and you reconstruct the lake.
+
+    The frontier — not the per-partition manifests — is the completeness
+    guarantee: partitions commit independently within a wave, so a
+    follower reading manifests directly could advance past a partition
+    whose commit is still in flight and silently drop its changes.
+
+    Retention: run compaction with ``retain_after <= `` the follower's
+    cursor. A compaction that overruns the cursor surfaces as
+    ``SnapshotUnavailable`` on the window's first read — loud, never
+    silent loss.
+
+    Terminates when ``until`` is reached (cursor >= until) or after
+    ``timeout`` seconds without progress; with neither, follows forever.
+    """
+    import time as _time
+
+    from ..state.manifest import read_frontier
+
+    cursor = int(from_watermark)
+    deadline = (_time.monotonic() + timeout) if timeout is not None else None
+    while True:
+        frontier = read_frontier(lake_dir)
+        if frontier > cursor:
+            yield cursor, frontier, read_lake_changelog(lake_dir, lo=cursor, hi=frontier)
+            cursor = frontier
+            if deadline is not None:
+                deadline = _time.monotonic() + timeout  # progress resets the idle clock
+        if until is not None and cursor >= until:
+            return
+        if frontier <= cursor:
+            if deadline is not None and _time.monotonic() >= deadline:
+                return
+            _time.sleep(poll_interval)
+
+
 def verify_lake(lake_dir: str) -> list[dict]:
     """Distributed lineage-integrity audit: one task per partition
     recomputes the state digest + row count from the on-disk base and
@@ -705,6 +773,7 @@ def compact_lake(
     key_cols: Optional[list[str]] = None,
     final_columns: Optional[list[str]] = None,
     final_types: Optional[dict] = None,
+    retain_after: Optional[int] = None,
 ) -> list[dict]:
     """Distributed compaction job: fold every partition's delta files
     back into single-file bases (one task per partition, atomic per
@@ -712,7 +781,15 @@ def compact_lake(
     skipped). Run it on whatever cadence bounds read amplification.
     Key columns default to each partition's OWN manifest metadata, so
     this works on any lake namespace without a table config (the CLI
-    ``compact`` mode)."""
+    ``compact`` mode).
+
+    ``retain_after``: retention horizon — fold only delta windows with
+    watermark ``<= retain_after`` into the base and keep later ones
+    live, so ``read_lake_asof``/``read_lake_changelog`` above the
+    horizon keep working (the shape every production delta lake runs:
+    compaction bounded by the time-travel retention policy). Partitions
+    with retained windows stay delta commits (sha sealed at the next
+    full compaction)."""
     from functools import partial as _partial
 
     from ..stages.apply_arrow import compact_parts
@@ -729,6 +806,7 @@ def compact_lake(
             key_cols=key_cols,
             final_columns=final_columns,
             final_types=final_types,
+            retain_after=retain_after,
         ),
         batch_format="pyarrow",
     )

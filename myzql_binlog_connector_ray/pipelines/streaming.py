@@ -92,13 +92,19 @@ def _compact_parts_task(
 
 
 @ray.remote
-def _stage_segment_task(path: str, staging_dir: str, cfg: dict) -> list:
+def _stage_segment_task(path: str, staging_dir: str, cfg: dict) -> dict:
     """Decode one closed segment and stage its change rows
     part-bucketed under ``staging_dir`` (the map side of the exchange).
     Returns the dirty ``(table_ns, part)`` pairs — ``table_ns`` is ""
     in single-table mode, where the decoder stages directly under
     ``staging_dir/part=P`` (multi-table mode namespaces a
-    ``<schema>.<table>/`` level in between)."""
+    ``<schema>.<table>/`` level in between) — plus the segment's max
+    staged ordinal (the ingestor's per-window frontier watermark;
+    column-only read-back of the just-written local staged files)."""
+    import pyarrow.compute as pc
+    import pyarrow.feather as feather
+    import pyarrow.parquet as pq
+
     from ..stages.decode import SegmentDecoder
 
     with open(path, "rb") as f:
@@ -107,10 +113,20 @@ def _stage_segment_task(path: str, staging_dir: str, cfg: dict) -> list:
         {"bytes": pa.array([blob], pa.binary()), "path": pa.array([path], pa.string())}
     )
     out = SegmentDecoder(staging_dir=staging_dir, **cfg)(batch)
+    max_ordinal = -1
+    for fpath in out["path"].to_pylist() if "path" in out.column_names else []:
+        if fpath.endswith(".ipc"):
+            t = feather.read_table(fpath, columns=["ordinal"], memory_map=True)
+        else:
+            t = pq.read_table(fpath, columns=["ordinal"])
+        if t.num_rows:
+            max_ordinal = max(max_ordinal, int(pc.max(t["ordinal"]).as_py()))
     parts = [int(x) for x in out["part"].to_pylist()]
     if "table_ns" in out.column_names:
-        return sorted(set(zip(out["table_ns"].to_pylist(), parts)))
-    return sorted({("", p) for p in parts})
+        pairs = sorted(set(zip(out["table_ns"].to_pylist(), parts)))
+    else:
+        pairs = sorted({("", p) for p in parts})
+    return {"pairs": pairs, "max_ordinal": max_ordinal}
 
 
 @ray.remote
@@ -319,6 +335,15 @@ class StreamingIngestor:
         self._inflight_tasks: list = []  # (ref, [(key, window_idxs)])
         self._window_remaining: dict = {}  # idx → keys with unapplied data
         self._folded: set = set()  # keys whose LAST apply ran in rewrite mode
+        # mid-stream commit frontier: a window is done when every
+        # partition with data in it has applied; the frontier advances
+        # through the CONTIGUOUS done prefix only (windows complete out
+        # of order — publishing a later window's watermark early would
+        # claim unapplied earlier ordinals as committed)
+        self._window_done: set = set()
+        self._window_wm: dict = {}  # idx → max staged ordinal of that segment
+        self._frontier_next = 0  # first window not yet folded into the frontier
+        self._frontier_wm = -1
         self.summaries: list[dict] = []
         # fire-and-forget worker warmup, overlapped with the tail
         self._warmup = [_warmup_task.remote() for _ in range(min(self.apply_parallelism, 16))]
@@ -345,14 +370,39 @@ class StreamingIngestor:
             ready, _ = ray.wait([ref], timeout=0)
             if not ready:
                 break
-            pairs = [tuple(p) for p in ray.get(ref)]
+            res = ray.get(ref)
+            pairs = [tuple(p) for p in res["pairs"]]
+            self._window_wm[idx] = int(res.get("max_ordinal", -1))
             self._staged_through += 1
             if not pairs:
                 shutil.rmtree(self._seg_dirs[idx], ignore_errors=True)
+                self._window_done.add(idx)
+                self._maybe_publish_frontier()
                 continue
             self._window_remaining[idx] = set(pairs)
             for key in pairs:
                 self._key_pending.setdefault(key, []).append(idx)
+
+    def _maybe_publish_frontier(self) -> None:
+        """Advance the lake-level commit frontier through the contiguous
+        prefix of fully-applied windows (what follow_changelog tails —
+        live, not just at drain)."""
+        advanced = False
+        while self._frontier_next in self._window_done:
+            w = self._window_wm.get(self._frontier_next, -1)
+            if w > self._frontier_wm:
+                self._frontier_wm = w
+            self._window_done.discard(self._frontier_next)
+            self._frontier_next += 1
+            advanced = True
+        if advanced and self._frontier_wm >= 0:
+            from ..state.manifest import publish_frontier
+
+            for ns in self.cfg_by_ns:
+                publish_frontier(
+                    os.path.join(self.lake_dir, ns) if ns else self.lake_dir,
+                    self._frontier_wm,
+                )
 
     def _maybe_launch_apply(self, sink_override: Optional[str] = None) -> None:
         slots = self.apply_parallelism - len(self._inflight_tasks)
@@ -410,7 +460,9 @@ class StreamingIngestor:
                         # applied it — its staging dir is dead weight
                         shutil.rmtree(self._seg_dirs[w], ignore_errors=True)
                         del self._window_remaining[w]
+                        self._window_done.add(w)
         self._inflight_tasks = still
+        self._maybe_publish_frontier()
 
     def poll(self) -> None:
         """Cheap, non-blocking progress: reap finished applies, advance
@@ -464,4 +516,20 @@ class StreamingIngestor:
                         for c in chunks
                     ]
                 )
+        # every submitted segment is now committed across every
+        # partition → advance each namespace's commit frontier (the
+        # changelog-follower surface; mid-stream followers ride the
+        # batch path's per-wave frontier instead, because streaming
+        # windows complete per PARTITION, not per global ordinal)
+        if self.summaries:
+            from ..state.manifest import publish_frontier
+
+            by_ns: dict = {}
+            for s in self.summaries:
+                ns = s.get("table_ns", "")
+                w = int(s.get("watermark", -1))
+                if w > by_ns.get(ns, -1):
+                    by_ns[ns] = w
+            for ns, w in by_ns.items():
+                publish_frontier(os.path.join(self.lake_dir, ns) if ns else self.lake_dir, w)
         return self.summaries

@@ -291,10 +291,14 @@ def compact_partition(
     key_cols: Optional[list[str]] = None,
     final_columns: Optional[list[str]] = None,
     final_types: Optional[dict] = None,
+    retain_after: Optional[int] = None,
 ) -> dict:
     """Fold a partition's live delta files into its base and rewrite it
     as one ``data.parquet`` (the read-optimal form), then remove the
-    folded + any stale delta files.
+    folded + any stale delta files. With ``retain_after`` set, fold
+    only windows at or below that horizon and keep later ones live
+    (retention-aware compaction: time travel above the horizon
+    survives).
 
     Crash-safe ordering: ``commit_partition`` lands the new base AND
     ``compacted_through=watermark`` atomically BEFORE any delta file is
@@ -311,7 +315,7 @@ def compact_partition(
     with partition_lease(lake_dir, part):
         return _compact_partition_leased(
             lake_dir, part, key_cols=key_cols, final_columns=final_columns,
-            final_types=final_types,
+            final_types=final_types, retain_after=retain_after,
         )
 
 
@@ -322,6 +326,7 @@ def _compact_partition_leased(
     key_cols: Optional[list[str]] = None,
     final_columns: Optional[list[str]] = None,
     final_types: Optional[dict] = None,
+    retain_after: Optional[int] = None,
 ) -> dict:
     import glob
     import os
@@ -336,13 +341,22 @@ def _compact_partition_leased(
         read_manifest,
     )
 
+    from ..state.manifest import commit_base_rewrite
+
     manifest = read_manifest(lake_dir, part) or {}
     keys = key_cols or manifest.get("key_cols") or KEY_COLS
     compacted_through = int(manifest.get("compacted_through", -1))
     all_deltas = sorted(glob.glob(os.path.join(partition_dir(lake_dir, part), "delta-*.parquet")))
     live = list_delta_files(lake_dir, part, compacted_through)
     stale = [f for f in all_deltas if f not in set(live)]
-    if not live:
+    # retention horizon: fold only deltas at or below it; later commit
+    # windows stay live so time travel above the horizon survives
+    if retain_after is not None:
+        fold_files = [f for f in live if delta_watermark_of(f) <= retain_after]
+        keep_files = [f for f in live if delta_watermark_of(f) > retain_after]
+    else:
+        fold_files, keep_files = live, []
+    if not fold_files:
         for f in stale:  # lazy cleanup of a crashed earlier compaction
             try:
                 os.unlink(f)
@@ -353,6 +367,7 @@ def _compact_partition_leased(
             "rows": int(manifest.get("rows", -1)),
             "watermark": int(manifest.get("watermark", -1)),
             "skipped": True,
+            "retained": len(keep_files),
         }
 
     base_files = [
@@ -365,19 +380,40 @@ def _compact_partition_leased(
         if base_files
         else None
     )
-    changes = pa.concat_tables([pq.read_table(f) for f in live], promote_options="permissive")
+    changes = pa.concat_tables([pq.read_table(f) for f in fold_files], promote_options="permissive")
     final = _finalize_arrow(lww_fold_arrow(base, changes, keys), final_columns, final_types)
     final = final.take(pc.sort_indices(final, sort_keys=[(k, "ascending") for k in keys]))
     watermark = max(
         int(manifest.get("watermark", -1)), max(delta_watermark_of(f) for f in live)
     )
+    if keep_files:
+        # partial (retention-aware) compaction: base absorbs the folded
+        # prefix, manifest stays a delta commit (sha sealed at the next
+        # FULL compaction), compacted_through advances only to the last
+        # folded window so asof/changelog above it keep working
+        new_ct = max(delta_watermark_of(f) for f in fold_files)
+        out = commit_base_rewrite(
+            lake_dir, part, final, watermark, new_ct, len(keep_files), key_cols=keys
+        )
+        for f in fold_files + stale:
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
+        return {
+            "part": part,
+            "rows": final.num_rows,
+            "watermark": out["watermark"],
+            "skipped": False,
+            "retained": len(keep_files),
+        }
     out = _commit(lake_dir, part, final, watermark, _state_sha(final), key_cols=keys)
     for f in live + stale:
         try:
             os.unlink(f)
         except OSError:
             pass
-    return {"part": part, "rows": out["rows"], "watermark": out["watermark"], "skipped": False}
+    return {"part": part, "rows": out["rows"], "watermark": out["watermark"], "skipped": False, "retained": 0}
 
 
 def compact_parts(
@@ -386,12 +422,14 @@ def compact_parts(
     key_cols: Optional[list[str]] = None,
     final_columns: Optional[list[str]] = None,
     final_types: Optional[dict] = None,
+    retain_after: Optional[int] = None,
 ) -> pa.Table:
     """map_batches body for the distributed compaction job: one
     ``compact_partition`` per input row {"part"}."""
     rows = [
         compact_partition(
-            lake_dir, int(p), key_cols=key_cols, final_columns=final_columns, final_types=final_types
+            lake_dir, int(p), key_cols=key_cols, final_columns=final_columns,
+            final_types=final_types, retain_after=retain_after,
         )
         for p in batch["part"].to_pylist()
     ]
@@ -401,6 +439,7 @@ def compact_parts(
             "rows": pa.array([r["rows"] for r in rows], pa.int64()),
             "watermark": pa.array([r["watermark"] for r in rows], pa.int64()),
             "skipped": pa.array([r["skipped"] for r in rows], pa.bool_()),
+            "retained": pa.array([r.get("retained", 0) for r in rows], pa.int64()),
         }
     )
 

@@ -104,7 +104,9 @@ def read_all_manifests(lake_dir: str) -> list[dict]:
         return []
     out = []
     for name in sorted(os.listdir(mdir)):
-        if name.endswith(".json"):
+        # partition manifests only — the _frontier.json commit-frontier
+        # marker and any future lake-level metadata are not partitions
+        if name.endswith(".json") and name.startswith("part-"):
             with open(os.path.join(mdir, name)) as f:
                 out.append(json.load(f))
     return out
@@ -170,6 +172,88 @@ def commit_delta(lake_dir: str, part: int, table, watermark: int, key_cols=None)
             # run without any table config, e.g. the CLI compact mode)
             # folds by these
             "key_cols": list(key_cols) if key_cols else prev.get("key_cols"),
+        }
+        mpath = manifest_path(lake_dir, part)
+        mtmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mtmp, mpath)
+        return manifest
+
+
+def frontier_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_manifests", "_frontier.json")
+
+
+def read_frontier(lake_dir: str) -> int:
+    """The lake's commit frontier: every change with ordinal at or
+    below it is fully committed across ALL partitions. -1 until the
+    first wave publishes. Per-partition manifests alone cannot provide
+    this guarantee — partitions commit independently within a wave, and
+    a partition with no changes in a wave never advances — so the
+    ingest pipelines publish it once per fully-committed wave/window
+    (the delta-log-head analogue every CDC consumer tails)."""
+    try:
+        with open(frontier_path(lake_dir)) as f:
+            return int(json.load(f)["watermark"])
+    except (FileNotFoundError, KeyError, ValueError):
+        return -1
+
+
+def publish_frontier(lake_dir: str, watermark: int) -> int:
+    """Advance the commit frontier (monotonic max, atomic replace,
+    flock-serialized against concurrent publishers). Call ONLY after
+    every partition of the wave/window has committed."""
+    import fcntl
+
+    os.makedirs(os.path.join(lake_dir, "_manifests"), exist_ok=True)
+    lock = frontier_path(lake_dir) + ".lock"
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        w = max(read_frontier(lake_dir), int(watermark))
+        tmp = frontier_path(lake_dir) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"watermark": w}, f)
+        os.replace(tmp, frontier_path(lake_dir))
+        return w
+    finally:
+        os.close(fd)
+
+
+def commit_base_rewrite(
+    lake_dir: str,
+    part: int,
+    table,
+    watermark: int,
+    compacted_through: int,
+    n_live: int,
+    key_cols=None,
+) -> dict:
+    """Partial-compaction commit: atomically replace the partition base
+    with the fold of everything ``<= compacted_through`` while LATER
+    delta files stay live — the retention-aware compaction shape (time
+    travel above the horizon survives). The manifest remains a delta
+    commit (rows/state sha unknown) until a full compaction seals it."""
+    import pyarrow.parquet as pq
+
+    pdir = partition_dir(lake_dir, part)
+    os.makedirs(pdir, exist_ok=True)
+    os.makedirs(os.path.join(lake_dir, "_manifests"), exist_ok=True)
+
+    with partition_lease(lake_dir, part):
+        tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(pdir, "data.parquet"))
+
+        manifest = {
+            "partition": part,
+            "watermark": int(watermark),
+            "rows": -1,
+            "state_sha256": "",
+            "deltas": int(n_live),
+            "compacted_through": int(compacted_through),
+            "key_cols": list(key_cols) if key_cols else None,
         }
         mpath = manifest_path(lake_dir, part)
         mtmp = mpath + f".tmp-{uuid.uuid4().hex}"

@@ -211,3 +211,165 @@ def test_cli_asof_changelog_multi_table_root(fixture_paths, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     ch = pd.read_parquet(os.path.join(cfg["output_dir"], "changelog--1-head", "app.repos"))
     assert "ordinal" in ch.columns and len(ch) > 0
+
+
+def test_retention_aware_compaction(asof_lake, tmp_path):
+    """compact_lake(retain_after=W2): windows at or below the horizon
+    fold into the base, later windows stay LIVE — time travel above the
+    horizon survives compaction (the production shape: compaction
+    bounded by the retention policy), below it raises, the final state
+    is unchanged, and a later full compaction still seals."""
+    import json
+    import shutil
+
+    from myzql_binlog_connector_ray.state.manifest import delta_watermark_of
+
+    lake = str(tmp_path / "partial")
+    shutil.copytree(asof_lake, lake)
+    before_state = _df(read_lake_state(asof_lake))
+    before_w3 = _df(read_lake_asof(asof_lake, W3))
+    tail_before = read_lake_changelog(asof_lake, lo=W2).to_pandas()
+
+    summaries = compact_lake(lake, retain_after=W2)
+    assert any(not s["skipped"] for s in summaries)
+    assert sum(int(s["retained"]) for s in summaries) > 0
+    # only windows above the horizon remain on disk
+    remaining = glob.glob(os.path.join(lake, "part=*", "delta-*.parquet"))
+    assert remaining and all(delta_watermark_of(f) > W2 for f in remaining)
+
+    # final state and above-horizon time travel are value-identical
+    assert _df(read_lake_state(lake)).equals(before_state)
+    assert _df(read_lake_asof(lake, W3)).equals(before_w3)
+    tail_after = read_lake_changelog(lake, lo=W2).to_pandas()
+    assert len(tail_after) == len(tail_before)
+    # below the horizon the history is gone — loud, not wrong
+    with pytest.raises(Exception, match="SnapshotUnavailable|compacted_through"):
+        read_lake_asof(lake, W2 - WAVE).materialize()
+
+    # idempotent at the same horizon: nothing left to fold
+    assert all(s["skipped"] for s in compact_lake(lake, retain_after=W2))
+
+    # a later FULL compaction seals (sha verifiable, zero deltas)
+    compact_lake(lake)
+    assert not glob.glob(os.path.join(lake, "part=*", "delta-*.parquet"))
+    assert _df(read_lake_state(lake)).equals(before_state)
+
+    # CLI surface: --retain-after reports retained windows
+    lake2 = str(tmp_path / "partial_cli")
+    shutil.copytree(asof_lake, lake2)
+    cfg_path = tmp_path / "rc.json"
+    cfg_path.write_text(
+        json.dumps({"segments_dir": "/tmp", "output_dir": str(tmp_path / "o"), "lake_dir": lake2})
+    )
+    r = _run_cli("compact", str(cfg_path), "--retain-after", str(W2))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "delta windows retained" in r.stdout
+    remaining2 = glob.glob(os.path.join(lake2, "part=*", "delta-*.parquet"))
+    assert remaining2 and all(delta_watermark_of(f) > W2 for f in remaining2)
+
+
+def test_follow_changelog_tails_commit_frontier(ray_session, fixture_paths, tmp_path):
+    """CDC-out follower: run_ingest publishes the lake-level commit
+    frontier once per fully-committed wave; follow_changelog yields one
+    contiguous (lo, hi] window per frontier advance, the union of the
+    windows is exactly the full changelog, and a replayed wave (no
+    frontier motion) yields nothing."""
+    import pandas as pd
+
+    from myzql_binlog_connector_ray.pipelines.ingest import follow_changelog
+    from myzql_binlog_connector_ray.state.manifest import read_frontier
+
+    lake = str(tmp_path / "followed")
+    init_lake(pq.read_table(fixture_paths["base_lake"]), lake, 8)
+    assert read_frontier(lake) == -1
+
+    gen = follow_changelog(lake, poll_interval=0.05, until=4 * WAVE, timeout=10)
+    windows = []
+    for cutoff in (W2, W3, None):
+        run_ingest(
+            fixture_paths["segment_paths"], lake, num_partitions=8, sink="delta",
+            max_ordinal=cutoff,
+        )
+        lo, hi, ds = next(gen)
+        windows.append((lo, hi, ds.to_pandas()))
+    # cursor reached the final frontier >= until → generator is done
+    with pytest.raises(StopIteration):
+        next(gen)
+
+    # one window per wave, contiguous, ordinal-bounded
+    assert len(windows) == 3
+    assert windows[0][0] == -1
+    for (l1, h1, _), (l2, h2, _) in zip(windows, windows[1:]):
+        assert l2 == h1
+    for lo, hi, df in windows:
+        assert (df["ordinal"] > lo).all() and (df["ordinal"] <= hi).all()
+    # wave semantics: window 2 = schema-evolution updates, 3 = deletes
+    assert set(windows[1][2]["dml"]) == {"UPDATE"}
+    assert set(windows[2][2]["dml"]) == {"DELETE"}
+
+    # union of windows == the full changelog, value-for-value keys
+    acc = pd.concat([df for _, _, df in windows])
+    full = read_lake_changelog(lake, lo=-1).to_pandas()
+    assert len(acc) == len(full)
+    key = lambda d: sorted(zip(d["repo"], d["path"], d["ordinal"]))  # noqa: E731
+    assert key(acc) == key(full)
+
+    # replaying a wave moves nothing: frontier is monotonic, follower
+    # sees no progress and times out cleanly
+    f_before = read_frontier(lake)
+    run_ingest(fixture_paths["segment_paths"], lake, num_partitions=8, sink="delta")
+    assert read_frontier(lake) == f_before
+    assert list(follow_changelog(lake, from_watermark=f_before, poll_interval=0.05, timeout=0.5)) == []
+
+    # retention interplay: compacting at or below the follower cursor
+    # keeps a restarted follower's window readable
+    compact_lake(lake, retain_after=windows[0][1])
+    lo, hi, ds = next(follow_changelog(lake, from_watermark=windows[0][1], timeout=5))
+    assert ds.count() == len(windows[1][2]) + len(windows[2][2])
+
+
+def test_streaming_midstream_frontier(ray_session, fixture_paths, tmp_path):
+    """The StreamingIngestor publishes the commit frontier MID-STREAM
+    (contiguous prefix of fully-applied windows) — a follower reaches
+    the head without waiting for drain(), and the windows it read add
+    up to exactly the full changelog."""
+    import time
+
+    import pandas as pd
+
+    from myzql_binlog_connector_ray.pipelines.streaming import StreamingIngestor
+    from myzql_binlog_connector_ray.state.manifest import read_frontier
+
+    lake = str(tmp_path / "livelake")
+    init_lake(pq.read_table(fixture_paths["base_lake"]), lake, 8)
+    ing = StreamingIngestor(lake, num_partitions=8, sink="delta", apply_parallelism=4)
+    for p in fixture_paths["segment_paths"]:
+        ing.submit(p)
+
+    windows, cursor = [], -1
+    deadline = time.monotonic() + 120
+    # tail the frontier while the ingestor works — NO drain() yet
+    while read_frontier(lake) < 4 * WAVE:
+        assert time.monotonic() < deadline, "frontier never reached the head mid-stream"
+        ing.poll()
+        f = read_frontier(lake)
+        if f > cursor:
+            windows.append((cursor, f, read_lake_changelog(lake, lo=cursor, hi=f).to_pandas()))
+            cursor = f
+        time.sleep(0.02)
+    f = read_frontier(lake)
+    if f > cursor:
+        windows.append((cursor, f, read_lake_changelog(lake, lo=cursor, hi=f).to_pandas()))
+        cursor = f
+
+    # windows are contiguous and their union is the complete changelog
+    for (l1, h1, _), (l2, h2, _) in zip(windows, windows[1:]):
+        assert l2 == h1
+    acc = pd.concat([df for _, _, df in windows])
+    ing.drain(compact=False)
+    full = read_lake_changelog(lake, lo=-1).to_pandas()
+    assert len(acc) == len(full)
+    key = lambda d: sorted(zip(d["repo"], d["path"], d["ordinal"]))  # noqa: E731
+    assert key(acc) == key(full)
+    # drain must not regress the frontier
+    assert read_frontier(lake) == cursor

@@ -20,6 +20,9 @@ Modes (reference: src/main.zig:85-299):
 - ``changelog``: CDC-out — the retained change rows with
                 --lo < ordinal <= --hi from the delta history,
                 written as parquet to output_dir.
+- ``follow``  : live CDC-out — tail the lake's commit frontier from
+                --lo, writing each complete (lo, hi] window as parquet
+                to output_dir until --until or --timeout idle seconds.
 
 Usage:
     python -m myzql_binlog_connector_ray.cli <mode> config.json [-v]
@@ -57,7 +60,7 @@ def main(argv=None) -> int:
         "mode",
         choices=[
             "stdout", "parquet", "apply", "apply-multi", "compact", "verify", "tail",
-            "stream", "bootstrap", "asof", "changelog",
+            "stream", "bootstrap", "asof", "changelog", "follow",
         ],
     )
     parser.add_argument("config", help="path to job config JSON")
@@ -105,6 +108,18 @@ def main(argv=None) -> int:
         default=None,
         help="compact mode: retention horizon — fold only delta windows at or "
         "below this ordinal, keeping later ones live for time travel",
+    )
+    parser.add_argument(
+        "--until",
+        type=int,
+        default=None,
+        help="follow mode: stop once the cursor reaches this ordinal",
+    )
+    parser.add_argument(
+        "--idle-timeout",
+        type=float,
+        default=10.0,
+        help="follow mode: exit after this many seconds without frontier progress",
     )
     args = parser.parse_args(argv)
 
@@ -250,6 +265,59 @@ def main(argv=None) -> int:
             rows = sum(s["rows"] for s in summaries)
             print(f"bootstrapped {lake}: {len(summaries)} partitions, {rows} rows")
             log.info("bootstrap: %d rows into %d partitions", rows, len(summaries))
+        finally:
+            ray.shutdown()
+        return 0
+
+    if args.mode == "follow":
+        # live CDC-out consumer: tail the commit frontier, write each
+        # complete (lo, hi] window as parquet. Single lake (point
+        # lake_dir at a namespace subdir for multi-table roots).
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(
+                address="local",
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="INFO" if args.verbose else "ERROR",
+            )
+        try:
+            lake = cfg.lake_dir or os.path.join(cfg.output_dir, "lake")
+            if not os.path.isdir(lake):
+                raise SystemExit(f"lake directory does not exist: {lake}")
+            if not any(d.startswith("part=") for d in os.listdir(lake)):
+                raise SystemExit(
+                    f"{lake} holds table namespaces, not partitions — point "
+                    "lake_dir at one namespace subdir (e.g. app.repos)"
+                )
+            from .pipelines.ingest import follow_changelog
+
+            import pyarrow.dataset as pads
+
+            n_windows = 0
+            try:
+                for lo, hi, ds in follow_changelog(
+                    lake, args.lo, until=args.until, timeout=args.idle_timeout
+                ):
+                    out = os.path.join(cfg.output_dir, f"changelog-{lo}-{hi}")
+                    os.makedirs(out, exist_ok=True)
+                    ds.write_parquet(out)
+                    n = pads.dataset(out, format="parquet").count_rows()
+                    n_windows += 1
+                    print(f"window ({lo}, {hi}]: {n} rows -> {out}", flush=True)
+                    log.info("follow: window (%d, %d] %d rows", lo, hi, n)
+            except Exception as e:
+                if "SnapshotUnavailable" in str(e) or "compacted_through" in str(e):
+                    print(
+                        "error: a compaction overran the follower cursor — the "
+                        "window's history is below the compaction horizon",
+                        file=sys.stderr,
+                    )
+                    log.error("follow below retention: %s", e)
+                    return 2
+                raise
+            print(f"followed {n_windows} windows")
         finally:
             ray.shutdown()
         return 0

@@ -373,3 +373,29 @@ def test_streaming_midstream_frontier(ray_session, fixture_paths, tmp_path):
     assert key(acc) == key(full)
     # drain must not regress the frontier
     assert read_frontier(lake) == cursor
+
+
+def test_cli_follow_mode(asof_lake, tmp_path):
+    """CLI follow: tails the commit frontier from --lo, writes each
+    complete window as parquet, exits cleanly after the idle timeout."""
+    import json
+
+    import pandas as pd
+
+    cfg = {"segments_dir": "/tmp", "output_dir": str(tmp_path / "out"), "lake_dir": asof_lake}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    # frontier already at head (fixture built by run_ingest): one
+    # window (-1, frontier], then idle-timeout exit
+    r = _run_cli("follow", str(cfg_path), "--lo", "-1", "--idle-timeout", "1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "followed 1 windows" in r.stdout
+    import glob as _glob
+
+    (win_dir,) = _glob.glob(os.path.join(cfg["output_dir"], "changelog-*"))
+    df = pd.read_parquet(win_dir)
+    full = read_lake_changelog(asof_lake, lo=-1).to_pandas()
+    assert len(df) == len(full)
+    # resuming from the head yields nothing and still exits 0
+    r = _run_cli("follow", str(cfg_path), "--lo", win_dir.rsplit("-", 1)[1], "--idle-timeout", "1")
+    assert r.returncode == 0 and "followed 0 windows" in r.stdout

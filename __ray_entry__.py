@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_snapshot_asof": api.lake_snapshot_asof,
         "lake_changelog_tail": api.lake_changelog_tail,
         "lake_changelog_follow": api.lake_changelog_follow,
+        "lake_replicate_follow": api.lake_replicate_follow,
         # pipelined streaming ingest (round-5): stage-on-close raw
         # tasks, contiguous-prefix apply waves, final fold to base
         "lake_upsert_lww_streaming": api.lake_upsert_lww_streaming,
@@ -544,6 +545,9 @@ def oracle_sql() -> dict[str, str]:
         # delta sink: three appended waves folded on read must equal the
         # rewrite sink's final state exactly (associative LWW fold)
         "lake_upsert_lww_delta": _LAKE_FINAL_SQL,
+        # CDC replication: source → frontier follower → replica; the
+        # replica's final state must equal the flagship closed form
+        "lake_replicate_follow": _LAKE_FINAL_SQL,
         # time travel: state AS OF the wave-2 boundary — v2 for %3 keys,
         # v1 otherwise, no deletes yet, stars not yet added (all-null)
         "lake_snapshot_asof": f"""

@@ -219,6 +219,7 @@ def run_bench() -> dict:
         timed("lake_snapshot_asof", api.lake_snapshot_asof)
         timed("lake_changelog_tail", api.lake_changelog_tail)
         timed("lake_changelog_follow", api.lake_changelog_follow)
+        timed("lake_replicate_follow", api.lake_replicate_follow)
 
         # round-4 pipelines over the bench-scale fixture stream:
         from myzql_binlog_connector_ray.pipelines.ingest import compact_lake, run_ingest_multi

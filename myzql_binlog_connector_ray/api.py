@@ -280,6 +280,64 @@ def lake_changelog_follow(sf_dir: str, *, num_partitions: int = 16, concurrency=
         shutil.rmtree(work, ignore_errors=True)
 
 
+def lake_replicate_follow(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
+    """CDC replication loop, closed end-to-end: a SOURCE delta lake
+    ingests three waves (each publishing the commit frontier); a
+    follower tails the frontier and re-applies every complete ``(lo,
+    hi]`` window, in order, onto an independent REPLICA lake through
+    the same LWW upsert path. Returns the replica's final state, which
+    must equal the flagship oracle value-for-value — a dropped window,
+    an out-of-order apply, or a frontier published before every
+    partition committed all surface as missing or stale rows."""
+    import shutil
+    import tempfile
+
+    from .pipelines.ingest import (
+        apply_changes,
+        follow_changelog,
+        read_lake_state,
+        run_ingest,
+    )
+
+    fx = _fixtures(sf_dir)
+    work = tempfile.mkdtemp(prefix="replica_lake_")
+    try:
+        src = os.path.join(work, "src")
+        rep = os.path.join(work, "rep")
+        base = pq.read_table(fx["base_lake"])
+        init_lake(base, src, num_partitions)
+        init_lake(base, rep, num_partitions)
+        gen = follow_changelog(src, poll_interval=0.05, until=4 * WAVE, timeout=60)
+        for cutoff in (3 * WAVE - 1, 4 * WAVE - 1, None):
+            run_ingest(
+                fx["segment_paths"],
+                src,
+                num_partitions=num_partitions,
+                concurrency=concurrency,
+                sink="delta",
+                max_ordinal=cutoff,
+            )
+            _lo, _hi, ds = next(gen)
+            blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
+            if not blocks:
+                continue
+            win = pa.concat_tables(blocks, promote_options="permissive")
+            apply_changes(
+                ray.data.from_arrow(win),
+                lake_dir=rep,
+                num_partitions=num_partitions,
+                write=True,
+            ).materialize()
+        # materialize the replica state before the tempdir is removed
+        state = pa.concat_tables(
+            [b for b in ray.get(read_lake_state(rep).to_arrow_refs()) if b.num_rows],
+            promote_options="permissive",
+        )
+        return state.select(FINAL_COLUMNS).replace_schema_metadata(None)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def lake_upsert_lww_streaming(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
     """Pipelined streaming ingest (round-5): segments feed a
     StreamingIngestor one at a time — each decode+stage task launches

@@ -399,3 +399,27 @@ def test_cli_follow_mode(asof_lake, tmp_path):
     # resuming from the head yields nothing and still exits 0
     r = _run_cli("follow", str(cfg_path), "--lo", win_dir.rsplit("-", 1)[1], "--idle-timeout", "1")
     assert r.returncode == 0 and "followed 0 windows" in r.stdout
+
+
+def test_follower_replication_equals_source(ray_session, fixture_paths, tmp_path):
+    """Source → frontier follower → replica: re-applying each complete
+    window in order through the same LWW upsert path reproduces the
+    source lake value-for-value (the CDC replication loop, closed)."""
+    import pyarrow as pa
+    import ray
+
+    from myzql_binlog_connector_ray.fixtures.change_stream import WAVE as _W
+    from myzql_binlog_connector_ray.pipelines.ingest import apply_changes, follow_changelog
+
+    src, rep = str(tmp_path / "src"), str(tmp_path / "rep")
+    base = pq.read_table(fixture_paths["base_lake"])
+    init_lake(base, src, 8)
+    init_lake(base, rep, 8)
+    gen = follow_changelog(src, poll_interval=0.05, until=4 * _W, timeout=30)
+    for cutoff in (3 * _W - 1, 4 * _W - 1, None):
+        run_ingest(fixture_paths["segment_paths"], src, num_partitions=8, sink="delta", max_ordinal=cutoff)
+        _lo, _hi, ds = next(gen)
+        blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
+        win = pa.concat_tables(blocks, promote_options="permissive")
+        apply_changes(ray.data.from_arrow(win), lake_dir=rep, num_partitions=8, write=True).materialize()
+    assert _df(read_lake_state(rep)).equals(_df(read_lake_state(src)))

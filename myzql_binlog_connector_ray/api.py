@@ -1761,7 +1761,9 @@ def dedup_clusters(
     return out
 
 
-def dedup_keep_best(sf_dir: str, *, num_parts: int = 16, labels=None):
+def dedup_keep_best(
+    sf_dir: str, *, num_parts: int = 16, labels=None, broadcast_budget: int = 5_000_000
+):
     """Near-dup survivor selection — the step after clustering in a real
     curation pipeline: within every near-dup cluster keep the
     best-quality document (here: most whitespace tokens, ties broken by
@@ -1773,18 +1775,23 @@ def dedup_keep_best(sf_dir: str, *, num_parts: int = 16, labels=None):
     session-memoized ``dedup_clusters`` (budgeted auto-switch) — either
     way the minhash banding/clustering runs ONCE per pipeline, not once
     per downstream consumer (round-4 verdict's perf item). Token counts
-    are computed where the text lives (never
-    shuffled), the two sides meet in ONE doc_id-hash co-partition
-    exchange (vectorized ``index_in`` gather), and the per-cluster
-    argmax is an ASSOCIATIVE max over the composite
+    are computed where the text lives (never shuffled), and the
+    per-cluster argmax is an ASSOCIATIVE max over the composite
     ``n_tokens·2³² + (2³²−1−doc_id)`` folded through the combiner tree —
     so a hot cluster ships ≤1 partial row per block, never its member
-    list."""
+    list. The doc→cluster map itself auto-switches on size: at or below
+    ``broadcast_budget`` label rows it is broadcast once (``ray.put``,
+    fetched zero-copy per actor) and joined inside the token
+    ``map_batches`` with a per-batch partial argmax — the only exchange
+    ships ≤ |clusters-in-block| partial rows (no co-partition shuffle at
+    all); above budget the two sides meet in ONE doc_id-hash
+    co-partition exchange (vectorized ``index_in`` gather)."""
     import pyarrow.compute as pc
 
     from .functions.agg import combiner_aggregate, hash_part
 
-    labels = dedup_clusters(sf_dir)
+    if labels is None:
+        labels = dedup_clusters(sf_dir)
     corpus = _dup_corpus(sf_dir)
 
     def tok_side(t: pa.Table) -> pa.Table:
@@ -1843,16 +1850,74 @@ def dedup_keep_best(sf_dir: str, *, num_parts: int = 16, labels=None):
             }
         )
 
-    joined = corpus.map_batches(tok_side, batch_format="pyarrow").union(
-        labels.map_batches(label_side, batch_format="pyarrow")
-    ).groupby("_part").map_groups(join_part, batch_format="pyarrow")
+    n_labels = labels.count()
+    if n_labels <= broadcast_budget:
+        # broadcast path: the doc→cluster map fits worker memory, so
+        # ship it ONCE (ray.put → zero-copy per-actor fetch) and fold
+        # the per-batch argmax where the text lives — no co-partition
+        # shuffle of the corpus at all
+        lab_blocks = [b for b in ray.get(labels.to_arrow_refs()) if b.num_rows]
+        lab_t = (
+            pa.concat_tables([b.select(["doc_id", "cluster"]) for b in lab_blocks])
+            if lab_blocks
+            else pa.table(
+                {"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        )
+        ref = ray.put(lab_t)
 
-    agg = combiner_aggregate(
-        joined,
-        ["cluster"],
-        [("comp", "max", "comp_max"), (None, "count", "n_members")],
-        num_parts=num_parts,
-    )
+        def tag_argmax(t: pa.Table) -> pa.Table:
+            # stateless task: the only per-task state is the broadcast
+            # label table — a zero-copy local object-store read (the
+            # pii_redaction_stats lesson: don't pay actor-pool spin-up
+            # for ~KB of state)
+            lab = ray.get(ref)
+            keys = pc.cast(lab["doc_id"], pa.int64()).combine_chunks()
+            clusters = pc.cast(lab["cluster"], pa.int64()).combine_chunks()
+            out = token_count_batch(t).select(["doc_id", "n_tokens"])
+            pos = pc.index_in(pc.cast(out["doc_id"], pa.int64()), value_set=keys)
+            mask = pc.is_valid(pos)
+            out = out.filter(mask)
+            clu = pc.take(clusters, pos.filter(mask))
+            did = pc.cast(out["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+            ntok = pc.cast(out["n_tokens"], pa.int64()).to_numpy(zero_copy_only=False)
+            if len(did) and (
+                did.min() < 0 or did.max() >= int(STRIDE) - 1 or ntok.max() >= (1 << 31)
+            ):
+                raise ValueError(
+                    "dedup_keep_best composite requires 0 <= doc_id < 2^32-1 "
+                    f"and n_tokens < 2^31; saw doc_id [{did.min()}, {did.max()}], "
+                    f"max tokens {ntok.max()}"
+                )
+            comp = ntok.astype(np.int64) * STRIDE + (STRIDE - 1 - did)
+            part = pa.table(
+                {
+                    "cluster": clu,
+                    "comp": pa.array(comp, pa.int64()),
+                    "one": pa.array(np.ones(len(comp), dtype=np.int64)),
+                }
+            )
+            g = part.group_by("cluster").aggregate([("comp", "max"), ("one", "sum")])
+            return g.rename_columns(["cluster", "comp_max_p", "n_p"])
+
+        partials = corpus.map_batches(tag_argmax, batch_format="pyarrow")
+        agg = combiner_aggregate(
+            partials,
+            ["cluster"],
+            [("comp_max_p", "max", "comp_max"), ("n_p", "sum", "n_members")],
+            num_parts=num_parts,
+        )
+    else:
+        joined = corpus.map_batches(tok_side, batch_format="pyarrow").union(
+            labels.map_batches(label_side, batch_format="pyarrow")
+        ).groupby("_part").map_groups(join_part, batch_format="pyarrow")
+
+        agg = combiner_aggregate(
+            joined,
+            ["cluster"],
+            [("comp", "max", "comp_max"), (None, "count", "n_members")],
+            num_parts=num_parts,
+        )
 
     def decode(t: pa.Table) -> pa.Table:
         comp = t["comp_max"].to_numpy(zero_copy_only=False)

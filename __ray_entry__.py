@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": api.top_revenue_orders,
         # non-SQL-expressible (rows-only checks)
         "minhash_dup_candidates": api.minhash_dup_candidates,
+        "dedup_incremental_candidates": api.dedup_incremental_candidates,
         "simhash_fingerprints": api.simhash_fingerprints,
         "language_id_predictions": api.language_id_predictions,
         "doc_fingerprints": api.doc_fingerprints,
@@ -913,6 +914,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_candidates": f"""
             WITH {_minhash_cte()}
             SELECT a, b FROM cpairs
+        """,
+        # incremental dedup: the full-corpus LSH pair set minus its
+        # base×base pairs — every pair with at least one incoming
+        # (doc_id >= 1M) member; a < b and base ids < 1M, so the filter
+        # on b alone is exact
+        "dedup_incremental_candidates": f"""
+            WITH {_minhash_cte()}
+            SELECT a, b FROM cpairs WHERE b >= 1000000
         """,
         # connected components over the symmetric candidate-pair graph:
         # every node's cluster is the min doc_id reachable from it —

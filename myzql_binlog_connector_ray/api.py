@@ -782,6 +782,32 @@ def _dup_corpus(sf_dir: str):
     return ds.union(near)
 
 
+def _expand_bucket_pairs(t: pa.Table, max_bucket_ids: int) -> pa.Table:
+    """LSH bucket id-lists → candidate pairs (a < b). Size-2 buckets —
+    the common case — emit (min, max); ≥3 emit all pairs, degrading to
+    star pairs through the bucket's min-id representative past
+    ``max_bucket_ids`` so a degenerate bucket costs O(n), not O(n²)."""
+    a_out: list[int] = []
+    b_out: list[int] = []
+    for ids in t["ids"].to_pylist():
+        if len(ids) < 2:
+            continue
+        ids = sorted(ids)
+        if len(ids) == 2:
+            a_out.append(ids[0])
+            b_out.append(ids[1])
+        elif len(ids) > max_bucket_ids:
+            rep = ids[0]
+            a_out.extend([rep] * (len(ids) - 1))
+            b_out.extend(ids[1:])
+        else:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+    return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+
+
 def _minhash_pairs(corpus, concurrency=None, max_bucket_ids: int = 4096):
     """Banded-LSH candidate pairs, deduped inside the Dataset (no driver
     collect of the pair set).
@@ -805,25 +831,7 @@ def _minhash_pairs(corpus, concurrency=None, max_bucket_ids: int = 4096):
     buckets = combiner_collect_distinct(bands, ["band", "band_hash"], "doc_id", "ids")
 
     def expand_pairs(t: pa.Table) -> pa.Table:
-        a_out: list[int] = []
-        b_out: list[int] = []
-        for ids in t["ids"].to_pylist():
-            if len(ids) < 2:
-                continue
-            ids = sorted(ids)
-            if len(ids) == 2:
-                a_out.append(ids[0])
-                b_out.append(ids[1])
-            elif len(ids) > max_bucket_ids:
-                rep = ids[0]
-                a_out.extend([rep] * (len(ids) - 1))
-                b_out.extend(ids[1:])
-            else:
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        a_out.append(ids[i])
-                        b_out.append(ids[j])
-        return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+        return _expand_bucket_pairs(t, max_bucket_ids)
 
     from .functions.agg import combiner_aggregate
 
@@ -865,6 +873,116 @@ def minhash_dup_candidates(sf_dir: str, *, concurrency=None):
     copy. SQL-checked: the md5/polynomial minhash spec (functions/dedup)
     is recomputed exactly by the DuckDB oracle."""
     return _minhash_pairs_for(sf_dir, concurrency)
+
+
+def _base_band_index_for(sf_dir: str, concurrency=None):
+    """Materialized LSH bucket index over the BASE corpus (documents
+    alone, no near-copies), memoized per (sf_dir, session): one row per
+    (band, band_hash) with the bucket's distinct doc-id list. This is
+    the persisted corpus-fingerprint index a CDC-fed curation pipeline
+    maintains — at 100 TB it lives sharded on storage and is extended
+    per wave, never rebuilt."""
+    from .functions.agg import combiner_collect_distinct
+    from .functions.dedup import MinHasher
+
+    key = _dedup_memo_key(sf_dir, "base_band_index")
+    ds = _DEDUP_MEMO.get(key)
+    if ds is None:
+        base = _docs_ds(sf_dir, ["doc_id", "text"])
+        bands = base.map_batches(_task_stage(MinHasher), batch_format="pyarrow")
+        ds = combiner_collect_distinct(
+            bands, ["band", "band_hash"], "doc_id", "ids"
+        ).materialize()
+        _DEDUP_MEMO[key] = ds
+    return ds
+
+
+def dedup_incremental_candidates(sf_dir: str, *, concurrency=None, max_bucket_ids: int = 4096):
+    """Incremental near-dup detection — the CDC-native dedup shape: a
+    wave of INCOMING documents (here the fixture's planted near-copies,
+    doc_id ≥ 1M) is checked against an already-fingerprinted base corpus
+    WITHOUT re-fingerprinting the base. Output: candidate pairs (a, b)
+    with at least one incoming member — i.e. the full-corpus LSH pair
+    set minus its base×base pairs (the closed form the oracle computes).
+
+    Scale shape: the base's LSH bucket index (``_base_band_index_for``)
+    is built once per session — at 100 TB it is the persisted index a
+    curation pipeline maintains across waves. The wave's band keys are
+    minhashed distributed, collected (a wave is broadcast-size by
+    definition — the budget every incremental design assumes), and
+    ``ray.put`` once; the probe is then an embarrassingly-parallel scan
+    of the index: a vectorized ``is_in`` band-hash prefilter drops
+    unmatched buckets (at scale almost all of them) before a bounded
+    Python expansion over the hits. In-wave pairs reuse the standard
+    bucket expansion over the wave's own (tiny) buckets. One combiner
+    dedup merges the two pair sources; no all-to-all over the base
+    corpus anywhere. A bucket past ``max_bucket_ids`` degrades to star
+    pairs through its min-id representative, same policy as the batch
+    path."""
+    import pyarrow.compute as pc
+
+    from .functions.agg import combiner_aggregate, combiner_collect_distinct
+    from .functions.dedup import MinHasher
+
+    incoming = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pa.compute.add(t["doc_id"], 1_000_000),
+                "text": pa.compute.binary_join_element_wise(t["text"], pa.scalar(" tail"), ""),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    inc_bands = incoming.map_batches(_task_stage(MinHasher), batch_format="pyarrow")
+    inc_buckets = combiner_collect_distinct(
+        inc_bands, ["band", "band_hash"], "doc_id", "ids"
+    ).materialize()
+
+    # wave-side lookup: {(band, band_hash): sorted incoming ids}
+    inc_blocks = [b for b in ray.get(inc_buckets.to_arrow_refs()) if b.num_rows]
+    inc_map: dict = {}
+    for blk in inc_blocks:
+        bands_np = blk["band"].to_numpy(zero_copy_only=False)
+        hashes_np = blk["band_hash"].to_numpy(zero_copy_only=False)
+        ids_list = blk["ids"].to_pylist()
+        for bd, bh, ids in zip(bands_np, hashes_np, ids_list):
+            inc_map[(int(bd), int(bh))] = sorted(ids)
+    map_ref = ray.put(inc_map)
+    hash_set = pa.array(sorted({k[1] for k in inc_map}), pa.int64())
+
+    def probe_base(t: pa.Table) -> pa.Table:
+        # vectorized prefilter: only buckets whose band_hash appears in
+        # the wave survive to the Python expansion
+        t = t.filter(pc.is_in(t["band_hash"], value_set=hash_set))
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        m = ray.get(map_ref)
+        a_out: list[int] = []
+        b_out: list[int] = []
+        bands_np = t["band"].to_numpy(zero_copy_only=False)
+        hashes_np = t["band_hash"].to_numpy(zero_copy_only=False)
+        for bd, bh, base_ids in zip(bands_np, hashes_np, t["ids"].to_pylist()):
+            inc_ids = m.get((int(bd), int(bh)))
+            if not inc_ids:
+                continue
+            base_ids = sorted(base_ids)
+            if len(base_ids) > max_bucket_ids:
+                base_ids = [base_ids[0]]  # star through the representative
+            for a in base_ids:  # base ids < 1M < incoming ids: (a, b) ordered
+                a_out.extend([a] * len(inc_ids))
+                b_out.extend(inc_ids)
+        return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+
+    cross = _base_band_index_for(sf_dir, concurrency).map_batches(
+        probe_base, batch_format="pyarrow"
+    )
+    within = inc_buckets.map_batches(
+        lambda t: _expand_bucket_pairs(t, max_bucket_ids), batch_format="pyarrow"
+    )
+    deduped = combiner_aggregate(
+        cross.union(within), ["a", "b"], [(None, "count", "_nbands")]
+    )
+    return deduped.select_columns(["a", "b"])
 
 
 def simhash_fingerprints(sf_dir: str):

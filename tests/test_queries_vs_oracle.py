@@ -78,6 +78,8 @@ SQL_CHECKED = [
     # round 2: hash kernels respecified in md5+integer-polynomial
     # arithmetic so DuckDB recomputes them exactly
     "minhash_dup_candidates",
+    # round 5: incremental dedup — wave probed against the base index
+    "dedup_incremental_candidates",
     "minhash_dup_verified",
     "simhash_fingerprints",
     "language_id_predictions",

@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-SQL-expressible (rows-only checks)
         "minhash_dup_candidates": api.minhash_dup_candidates,
         "dedup_incremental_candidates": api.dedup_incremental_candidates,
+        "dedup_incremental_verified": api.dedup_incremental_verified,
         "simhash_fingerprints": api.simhash_fingerprints,
         "language_id_predictions": api.language_id_predictions,
         "doc_fingerprints": api.doc_fingerprints,
@@ -989,6 +990,28 @@ def oracle_sql() -> dict[str, str]:
               FROM cpairs p
               JOIN gset x ON x.doc_id = p.a
               JOIN gset y ON y.doc_id = p.b AND y.gh = x.gh
+              GROUP BY p.a, p.b
+            )
+            SELECT i.a, i.b,
+                   round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard
+            FROM inter i
+            JOIN gsize sa ON sa.doc_id = i.a
+            JOIN gsize sb ON sb.doc_id = i.b
+            WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
+        """,
+        # incremental verify: the batch verifier restricted to pairs
+        # with an incoming (doc_id >= 1M) member — the wave-vs-corpus
+        # dedup decision
+        "dedup_incremental_verified": f"""
+            WITH {_minhash_cte()},
+            gset AS (SELECT DISTINCT doc_id, gh FROM grams),
+            gsize AS (SELECT doc_id, count(*) AS n FROM gset GROUP BY doc_id),
+            inter AS (
+              SELECT p.a, p.b, count(*) AS ni
+              FROM cpairs p
+              JOIN gset x ON x.doc_id = p.a
+              JOIN gset y ON y.doc_id = p.b AND y.gh = x.gh
+              WHERE p.b >= 1000000
               GROUP BY p.a, p.b
             )
             SELECT i.a, i.b,

@@ -897,7 +897,39 @@ def _base_band_index_for(sf_dir: str, concurrency=None):
     return ds
 
 
-def dedup_incremental_candidates(sf_dir: str, *, concurrency=None, max_bucket_ids: int = 4096):
+def _incremental_pairs_for(sf_dir: str, concurrency=None):
+    """Materialized incremental candidate pairs, memoized per
+    (sf_dir, session) — candidates → verify chains reuse one probe."""
+    key = _dedup_memo_key(sf_dir, "inc_pairs")
+    ds = _DEDUP_MEMO.get(key)
+    if ds is None:
+        ds = _build_incremental_pairs(sf_dir, concurrency=concurrency).materialize()
+        _DEDUP_MEMO[key] = ds
+    return ds
+
+
+def dedup_incremental_candidates(sf_dir: str, *, concurrency=None):
+    """Incremental near-dup candidates (see ``_build_incremental_pairs``
+    for the scale shape); memoized per session like the batch path."""
+    return _incremental_pairs_for(sf_dir, concurrency)
+
+
+def dedup_incremental_verified(sf_dir: str, *, threshold: float = 0.5, concurrency=None):
+    """Incremental candidates verified with exact n-gram Jaccard — the
+    full wave-vs-corpus dedup decision: probe the persisted base index
+    (no base re-fingerprint), then verify only the surviving pairs with
+    the same budgeted broadcast/bucket-join machinery as the batch
+    verifier. At 100 TB the verify cost is bounded by the wave's pair
+    count, never the corpus."""
+    return minhash_dup_verified(
+        sf_dir,
+        threshold=threshold,
+        concurrency=concurrency,
+        pairs=_incremental_pairs_for(sf_dir, concurrency),
+    )
+
+
+def _build_incremental_pairs(sf_dir: str, *, concurrency=None, max_bucket_ids: int = 4096):
     """Incremental near-dup detection — the CDC-native dedup shape: a
     wave of INCOMING documents (here the fixture's planted near-copies,
     doc_id ≥ 1M) is checked against an already-fingerprinted base corpus
@@ -1553,6 +1585,7 @@ def minhash_dup_verified(
     num_partitions: int = 8,
     strategy: str = "auto",
     broadcast_budget: int = 1_000_000,
+    pairs=None,
 ):
     """MinHash-LSH candidates verified with exact n-gram Jaccard — fully
     distributed; no driver-side text map or per-pair loop (round 1
@@ -1578,7 +1611,8 @@ def minhash_dup_verified(
       Jaccard runs in map_batches. No driver-side pair state at all.
     """
     corpus = _dup_corpus(sf_dir)
-    pairs = _minhash_pairs_for(sf_dir, concurrency)
+    if pairs is None:
+        pairs = _minhash_pairs_for(sf_dir, concurrency)
     gsets = corpus.map_batches(_task_stage(GramSetter), batch_format="pyarrow")
     if strategy == "auto":
         strategy = "broadcast" if pairs.count() <= broadcast_budget else "bucket_join"

@@ -80,6 +80,7 @@ SQL_CHECKED = [
     "minhash_dup_candidates",
     # round 5: incremental dedup — wave probed against the base index
     "dedup_incremental_candidates",
+    "dedup_incremental_verified",
     "minhash_dup_verified",
     "simhash_fingerprints",
     "language_id_predictions",

@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": api.dedup_exact,
         "token_count_by_lang": api.token_count_by_lang,
         "sequence_packing_stats": api.sequence_packing_stats,
+        "training_shuffle_shards": api.training_shuffle_shards,
         "corpus_mixture_weights": api.corpus_mixture_weights,
         "quality_stats_by_source": api.quality_stats_by_source,
         "lang_distribution": api.lang_distribution,
@@ -713,6 +714,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # sequence packing: contiguous-greedy per lang in doc_id order;
         # a doc belongs to the sequence where its prefix starts
+        # deterministic seeded global shuffle: md5(seed:doc_id) key,
+        # shard = key mod N, pos = rank within shard by (key, doc_id)
+        "training_shuffle_shards": """
+            WITH keys AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('17:' || CAST(doc_id AS VARCHAR)),1,12)) AS BIGINT) AS k
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(k % 16 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY k % 16 ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+            FROM keys
+        """,
         "sequence_packing_stats": """
             WITH t AS (
               SELECT lang, doc_id,

@@ -4200,6 +4200,58 @@ def corpus_mixture_weights(sf_dir: str, *, alpha: float = 0.3):
     )
 
 
+def training_shuffle_shards(sf_dir: str, *, num_shards: int = 16, seed: int = 17):
+    """Deterministic seeded global shuffle + shard assignment — the
+    training-loader step after curation: every document gets a stable
+    pseudo-random position ``(shard, pos)`` so N data-loader workers
+    each read one shard in a reproducible shuffled order. The key is
+    ``md5(seed:doc_id)`` (48 bits), shard = key mod num_shards, pos =
+    rank within shard by (key, doc_id).
+
+    Scale shape: this replaces ``Dataset.random_shuffle`` (a full
+    materializing all-to-all with no determinism across runs) with ONE
+    hash exchange on the shard id followed by a per-shard vectorized
+    lexsort — shards are independent, so at 100 TB each shard sorts its
+    own slice (bounded by corpus/num_shards) and writes its own
+    resumable output; re-runs produce byte-identical order."""
+    import hashlib as _h
+
+    ds = _docs_ds(sf_dir, ["doc_id"])
+
+    def key_shard(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        md5 = _h.md5
+        k = np.fromiter(
+            (int(md5(f"{seed}:{i}".encode()).hexdigest()[:12], 16) for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "shard": pa.array(k % num_shards, pa.int64()),
+            }
+        )
+
+    def rank_shard(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k))
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(len(order), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "shard": g["shard"],
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(key_shard, batch_format="pyarrow")
+    return keyed.groupby("shard").map_groups(rank_shard, batch_format="pyarrow")
+
+
 def sequence_packing_stats(sf_dir: str, *, budget: int = 512, num_parts: int = 8):
     """Sequence packing for pretraining — pack documents into
     fixed-token-budget training sequences per language and report

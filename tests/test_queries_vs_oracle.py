@@ -81,6 +81,8 @@ SQL_CHECKED = [
     # round 5: incremental dedup — wave probed against the base index
     "dedup_incremental_candidates",
     "dedup_incremental_verified",
+    # round 5: deterministic seeded global shuffle -> (shard, pos)
+    "training_shuffle_shards",
     "minhash_dup_verified",
     "simhash_fingerprints",
     "language_id_predictions",

@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_upsert_lww_delta": api.lake_upsert_lww_delta,
         "lake_snapshot_asof": api.lake_snapshot_asof,
         "lake_changelog_tail": api.lake_changelog_tail,
+        "lake_snapshot_diff": api.lake_snapshot_diff,
         "lake_changelog_follow": api.lake_changelog_follow,
         "lake_replicate_follow": api.lake_replicate_follow,
         # pipelined streaming ingest (round-5): stage-on-close raw
@@ -576,6 +577,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, 'UPDATE' AS dml FROM d WHERE doc_id % 9 = 0
             UNION ALL
             SELECT repo, path, 'DELETE' AS dml FROM d WHERE doc_id % 5 = 0
+        """,
+        # semantic base→final diff: net change per key — %4 inserts
+        # that survive the %5 deletes, %3 content updates, %5 deletes
+        # of pre-existing (%4<>0) keys; insert-then-delete keys and
+        # unchanged keys emit nothing
+        "lake_snapshot_diff": f"""
+            WITH d AS ({_D})
+            SELECT repo, path, 'INSERT' AS change,
+                   sha256(CASE WHEN v = 1 THEN text ELSE text || ' [v' || v || ']' END) AS content_sha256
+            FROM d WHERE doc_id % 4 = 0 AND doc_id % 5 <> 0
+            UNION ALL
+            SELECT repo, path, 'UPDATE' AS change,
+                   sha256(CASE WHEN v = 1 THEN text ELSE text || ' [v' || v || ']' END) AS content_sha256
+            FROM d WHERE doc_id % 4 <> 0 AND doc_id % 5 <> 0 AND doc_id % 3 = 0
+            UNION ALL
+            SELECT repo, path, 'DELETE' AS change, CAST(NULL AS VARCHAR) AS content_sha256
+            FROM d WHERE doc_id % 4 <> 0 AND doc_id % 5 = 0
         """,
         # CDC-out follower: one window per published commit frontier.
         # Window 1 spans waves 1+2 (one ingest pass), so the per-window

@@ -234,6 +234,26 @@ def lake_changelog_tail(sf_dir: str, *, num_partitions: int = 16, concurrency=No
     )
 
 
+def lake_snapshot_diff(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
+    """Semantic snapshot-to-snapshot diff: the net per-key change from
+    the pre-wave base snapshot to the final state, classified
+    INSERT / UPDATE / DELETE with the final content digest (NULL on
+    deletes) — "what changed between these two points" as upsert/delete
+    instructions with intermediate churn folded away (``pipelines.
+    ingest.lake_diff``; the changelog keeps the churn). Zero shuffle:
+    base and delta files are partition-aligned, so each partition folds
+    both snapshots locally and diffs them with vectorized ``index_in``.
+    The oracle classifies the fixture's key space closed-form: %4
+    inserts surviving the %5 deletes, %3 content updates, %5 deletes of
+    pre-existing keys — a diff that leaks unchanged keys, misclassifies
+    an insert-then-delete, or reports churn a restore cancelled fails
+    the value check."""
+    from .pipelines.ingest import lake_diff
+
+    lake_dir = _asof_lake(sf_dir, num_partitions, concurrency)
+    return lake_diff(lake_dir, WAVE - 1, 5 * WAVE)
+
+
 def lake_changelog_follow(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
     """Live CDC-out follower end-to-end: three ingest waves land in a
     fresh delta lake, each publishing the lake-level commit frontier;

@@ -675,6 +675,103 @@ def read_lake_changelog(
     )
 
 
+def lake_diff(
+    lake_dir: str,
+    lo: int,
+    hi: int,
+    *,
+    key_cols: Optional[list[str]] = None,
+    sha_col: str = "content_sha256",
+) -> ray.data.Dataset:
+    """Semantic diff between two snapshots: per-key net change from the
+    state AS OF ``lo`` to the state AS OF ``hi``, classified INSERT /
+    UPDATE / DELETE (keys whose content digest is unchanged emit no
+    row). This is what a downstream sync actually wants from time
+    travel — "what changed between yesterday's snapshot and now" as
+    upsert/delete instructions, with intermediate churn folded away
+    (a key updated five times then restored to its ``lo`` content
+    disappears from the diff; the changelog keeps the churn).
+
+    Scale shape: both folds are PARTITION-ALIGNED — base and delta
+    files live per partition, so one task per partition folds its own
+    slice at ``lo`` and at ``hi`` (ordinal filters are parquet
+    row-group predicates) and diffs the two locally with vectorized
+    ``index_in`` on the key — zero shuffle, output bounded by changed
+    keys. Both watermarks obey ``read_asof_parts``'s exactness and
+    retention contract."""
+    from functools import partial as _partial
+
+    import pyarrow.compute as pc
+
+    from ..stages.apply_arrow import read_asof_parts
+
+    keys = key_cols or TABLE_CONFIGS[("app", "repos")]["keys"]
+
+    def _composite(t: pa.Table):
+        parts = []
+        for k in keys:
+            col = t[k]
+            parts.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        if len(parts) == 1:
+            return parts[0]
+        return pc.binary_join_element_wise(*parts, "\x00")
+
+    empty = pa.table(
+        {
+            **{k: pa.array([], pa.string()) for k in keys},
+            "change": pa.array([], pa.string()),
+            sha_col: pa.array([], pa.string()),
+        }
+    )
+
+    def diff_part(batch: pa.Table) -> pa.Table:
+        lo_t = read_asof_parts(batch, lake_dir=lake_dir, watermark=lo)
+        hi_t = read_asof_parts(batch, lake_dir=lake_dir, watermark=hi)
+        if not lo_t.num_rows and not hi_t.num_rows:
+            return empty
+
+        def out(t: pa.Table, change: str, shas) -> pa.Table:
+            return pa.table(
+                {
+                    **{k: t[k] for k in keys},
+                    "change": pa.array([change] * t.num_rows, pa.string()),
+                    sha_col: shas,
+                }
+            )
+
+        if not lo_t.num_rows:
+            return out(hi_t, "INSERT", pc.cast(hi_t[sha_col], pa.string()))
+        if not hi_t.num_rows:
+            return out(
+                lo_t, "DELETE", pa.nulls(lo_t.num_rows, pa.string())
+            )
+        lo_k, hi_k = _composite(lo_t), _composite(hi_t)
+        pos_hi = pc.index_in(hi_k, value_set=lo_k)  # hi row → its lo row
+        pos_lo = pc.index_in(lo_k, value_set=hi_k)  # lo row → its hi row
+        ins = hi_t.filter(pc.is_null(pos_hi))
+        dels = lo_t.filter(pc.is_null(pos_lo))
+        matched_mask = pc.is_valid(pos_hi)
+        both_hi = hi_t.filter(matched_mask)
+        lo_sha = pc.take(
+            pc.cast(lo_t[sha_col], pa.string()),
+            pos_hi.filter(matched_mask) if isinstance(pos_hi, pa.ChunkedArray) else pc.filter(pos_hi, matched_mask),
+        )
+        hi_sha = pc.cast(both_hi[sha_col], pa.string())
+        upd = both_hi.filter(pc.not_equal(hi_sha, lo_sha))
+        return pa.concat_tables(
+            [
+                out(ins, "INSERT", pc.cast(ins[sha_col], pa.string())),
+                out(upd, "UPDATE", pc.cast(upd[sha_col], pa.string())),
+                out(dels, "DELETE", pa.nulls(dels.num_rows, pa.string())),
+            ]
+        )
+
+    parts = _lake_parts(lake_dir)
+    return ray.data.from_items(
+        [{"part": p} for p in parts], override_num_blocks=max(1, len(parts))
+    ).map_batches(_partial(diff_part), batch_format="pyarrow")
+
+
 def snapshot_points(lake_dir: str) -> list[int]:
     """The lake's valid time-travel boundaries: every live delta
     commit's watermark (ascending, deduplicated across partitions).

@@ -83,6 +83,8 @@ SQL_CHECKED = [
     "dedup_incremental_verified",
     # round 5: deterministic seeded global shuffle -> (shard, pos)
     "training_shuffle_shards",
+    # round 5: semantic base->final snapshot diff (partition-aligned)
+    "lake_snapshot_diff",
     "minhash_dup_verified",
     "simhash_fingerprints",
     "language_id_predictions",

@@ -423,3 +423,37 @@ def test_follower_replication_equals_source(ray_session, fixture_paths, tmp_path
         win = pa.concat_tables(blocks, promote_options="permissive")
         apply_changes(ray.data.from_arrow(win), lake_dir=rep, num_partitions=8, write=True).materialize()
     assert _df(read_lake_state(rep)).equals(_df(read_lake_state(src)))
+
+
+def test_lake_diff_intermediate_window(asof_lake):
+    """Diff between the wave-2 and wave-3 boundaries must contain exactly
+    the %9 content updates — no inserts, no deletes, no unchanged keys."""
+    from myzql_binlog_connector_ray.pipelines.ingest import lake_diff
+
+    d = lake_diff(asof_lake, W2, W3).to_pandas()
+    assert set(d["change"]) == {"UPDATE"}
+    # every %9 doc appears once; path encodes the doc_id
+    ids = sorted(int(p.split("/f")[1].split(".")[0]) for p in d["path"])
+    assert all(i % 9 == 0 for i in ids)
+    assert len(ids) == len(set(ids))
+    assert d["content_sha256"].notna().all()
+
+
+def test_lake_diff_full_span_classes(asof_lake):
+    """Base→head diff: inserts surviving deletes, updates, deletes of
+    pre-existing keys; insert-then-delete keys emit nothing."""
+    from myzql_binlog_connector_ray.fixtures.change_stream import WAVE as _W
+    from myzql_binlog_connector_ray.pipelines.ingest import lake_diff
+
+    d = lake_diff(asof_lake, _W - 1, 10**15).to_pandas()
+    ids = d["path"].str.extract(r"/f(\d+)\.")[0].astype(int)
+    for i, ch in zip(ids, d["change"]):
+        if ch == "INSERT":
+            assert i % 4 == 0 and i % 5 != 0
+        elif ch == "DELETE":
+            assert i % 5 == 0 and i % 4 != 0
+        else:
+            assert i % 3 == 0 and i % 4 != 0 and i % 5 != 0
+    # deletes carry no digest; inserts/updates do
+    assert d.loc[d["change"] == "DELETE", "content_sha256"].isna().all()
+    assert d.loc[d["change"] != "DELETE", "content_sha256"].notna().all()

@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_snapshot_asof": api.lake_snapshot_asof,
         "lake_changelog_tail": api.lake_changelog_tail,
         "lake_snapshot_diff": api.lake_snapshot_diff,
+        "lake_history_scd2": api.lake_history_scd2,
         "lake_changelog_follow": api.lake_changelog_follow,
         "lake_replicate_follow": api.lake_replicate_follow,
         # pipelined streaming ingest (round-5): stage-on-close raw
@@ -594,6 +595,37 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT repo, path, 'DELETE' AS change, CAST(NULL AS VARCHAR) AS content_sha256
             FROM d WHERE doc_id % 4 <> 0 AND doc_id % 5 = 0
+        """,
+        # SCD2 history: every RETAINED version's validity interval in
+        # wave units — base v1 opens at 0, %4 inserts at 1, %3 updates
+        # open v2 at 2, %9 open v3 at 3, %5 deletes close the last
+        # version at 4; open intervals are NULL. Waves 1+2 share one
+        # commit window, so a key both inserted (%4) and updated (%3)
+        # there keeps only the v2 generation (per-window LWW — the same
+        # collapse lake_changelog_follow pins). lead() recomputes the
+        # chain.
+        "lake_history_scd2": f"""
+            WITH d AS ({_D}),
+            vers AS (
+              SELECT repo, path, 1 AS ver,
+                     CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS w, doc_id
+              FROM d
+              WHERE doc_id % 4 <> 0 OR doc_id % 3 <> 0
+              UNION ALL
+              SELECT repo, path, 2, 2, doc_id FROM d WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT repo, path, 3, 3, doc_id FROM d WHERE doc_id % 9 = 0
+            ),
+            ends AS (
+              SELECT repo, path, ver, w, doc_id,
+                     lead(w) OVER (PARTITION BY repo, path ORDER BY w) AS nxt
+              FROM vers
+            )
+            SELECT repo, path,
+                   md5(repo || ':' || path || ':v' || ver) AS commit,
+                   CAST(w AS BIGINT) AS valid_from_wave,
+                   CAST(COALESCE(nxt, CASE WHEN doc_id % 5 = 0 THEN 4 END) AS BIGINT) AS valid_to_wave
+            FROM ends
         """,
         # CDC-out follower: one window per published commit frontier.
         # Window 1 spans waves 1+2 (one ingest pass), so the per-window

@@ -254,6 +254,46 @@ def lake_snapshot_diff(sf_dir: str, *, num_partitions: int = 16, concurrency=Non
     return lake_diff(lake_dir, WAVE - 1, 5 * WAVE)
 
 
+def lake_history_scd2(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
+    """SCD-type-2 history table from the delta lake's own log
+    (``pipelines.ingest.lake_history``): one interval row per version a
+    key ever had, with validity boundaries reported in commit-WAVE
+    units (each fixture wave touches a key at most once, so wave units
+    are exact and the oracle recomputes the whole chain closed-form:
+    base v1 from wave 0, %4 inserts from wave 1, %3→v2 from wave 2,
+    %9→v3 from wave 3, %5 deletes closing at wave 4; open intervals are
+    NULL). Emitting delete rows, missing the base generation, or
+    mis-ordering a key's chain all fail the value check."""
+    import pyarrow.compute as pc
+
+    from .pipelines.ingest import lake_history
+
+    lake_dir = _asof_lake(sf_dir, num_partitions, concurrency)
+
+    def to_waves(t: pa.Table) -> pa.Table:
+        vf = t["valid_from"].to_numpy(zero_copy_only=False)
+        vf_w = np.where(vf < 0, 0, vf // WAVE).astype(np.int64)
+        vt = t["valid_to"]
+        if isinstance(vt, pa.ChunkedArray):
+            vt = vt.combine_chunks()
+        vt_w = pc.if_else(
+            pc.is_valid(vt),
+            pc.divide(pc.cast(vt, pa.int64()), pa.scalar(WAVE, pa.int64())),
+            pa.scalar(None, pa.int64()),
+        )
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "commit": t["commit"],
+                "valid_from_wave": pa.array(vf_w, pa.int64()),
+                "valid_to_wave": vt_w,
+            }
+        )
+
+    return lake_history(lake_dir).map_batches(to_waves, batch_format="pyarrow")
+
+
 def lake_changelog_follow(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
     """Live CDC-out follower end-to-end: three ingest waves land in a
     fresh delta lake, each publishing the lake-level commit frontier;

@@ -85,6 +85,8 @@ SQL_CHECKED = [
     "training_shuffle_shards",
     # round 5: semantic base->final snapshot diff (partition-aligned)
     "lake_snapshot_diff",
+    # round 5: SCD2 history table from the delta log (wave units)
+    "lake_history_scd2",
     "minhash_dup_verified",
     "simhash_fingerprints",
     "language_id_predictions",

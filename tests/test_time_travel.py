@@ -457,3 +457,20 @@ def test_lake_diff_full_span_classes(asof_lake):
     # deletes carry no digest; inserts/updates do
     assert d.loc[d["change"] == "DELETE", "content_sha256"].isna().all()
     assert d.loc[d["change"] != "DELETE", "content_sha256"].notna().all()
+
+
+def test_lake_history_chain_invariants(asof_lake):
+    """Per-key interval chains must tile: sorted by valid_from, each
+    interval's valid_to equals the next valid_from; exactly one open
+    interval per live key, none for deleted keys."""
+    from myzql_binlog_connector_ray.pipelines.ingest import lake_history, read_lake_state
+
+    h = lake_history(asof_lake).to_pandas()
+    live = set(map(tuple, read_lake_state(asof_lake).to_pandas()[["repo", "path"]].values))
+    for (repo, path), g in h.groupby(["repo", "path"]):
+        g = g.sort_values("valid_from")
+        vt = g["valid_to"].values
+        vf = g["valid_from"].values
+        assert (vt[:-1] == vf[1:]).all(), (repo, path)
+        open_n = g["valid_to"].isna().sum()
+        assert open_n == (1 if (repo, path) in live else 0), (repo, path)

@@ -20,6 +20,12 @@ Modes (reference: src/main.zig:85-299):
 - ``changelog``: CDC-out — the retained change rows with
                 --lo < ordinal <= --hi from the delta history,
                 written as parquet to output_dir.
+- ``diff``    : semantic snapshot-to-snapshot diff — per-key net
+                INSERT/UPDATE/DELETE between the states AS OF --lo
+                and AS OF --hi (default head), churn folded away.
+- ``history`` : SCD2 history table — every retained version's
+                (valid_from, valid_to] ordinal interval straight
+                from the delta log; open intervals are NULL.
 - ``follow``  : live CDC-out — tail the lake's commit frontier from
                 --lo, writing each complete (lo, hi] window as parquet
                 to output_dir until --until or --timeout idle seconds.
@@ -60,7 +66,7 @@ def main(argv=None) -> int:
         "mode",
         choices=[
             "stdout", "parquet", "apply", "apply-multi", "compact", "verify", "tail",
-            "stream", "bootstrap", "asof", "changelog", "follow",
+            "stream", "bootstrap", "asof", "changelog", "diff", "history", "follow",
         ],
     )
     parser.add_argument("config", help="path to job config JSON")
@@ -94,13 +100,13 @@ def main(argv=None) -> int:
         "--lo",
         type=int,
         default=-1,
-        help="changelog mode: exclusive lower ordinal bound (default -1 = from the start)",
+        help="changelog/diff mode: exclusive lower / from-snapshot ordinal bound (default -1 = from the start / the base)",
     )
     parser.add_argument(
         "--hi",
         type=int,
         default=None,
-        help="changelog mode: inclusive upper ordinal bound (default: open-ended)",
+        help="changelog/diff mode: inclusive upper / to-snapshot ordinal bound (default: open-ended / head)",
     )
     parser.add_argument(
         "--retain-after",
@@ -322,7 +328,7 @@ def main(argv=None) -> int:
             ray.shutdown()
         return 0
 
-    if args.mode in ("asof", "changelog"):
+    if args.mode in ("asof", "changelog", "diff", "history"):
         # time-travel / CDC-out reads over an existing lake dir. These
         # operate on ONE partitioned lake (part=* dirs); for a
         # multi-table root, point lake_dir at the namespace subdir.
@@ -341,6 +347,8 @@ def main(argv=None) -> int:
                 raise SystemExit(f"lake directory does not exist: {lake}")
             from .pipelines.ingest import (
                 TABLE_CONFIGS,
+                lake_diff,
+                lake_history,
                 read_lake_asof,
                 read_lake_changelog,
                 snapshot_points,
@@ -370,28 +378,52 @@ def main(argv=None) -> int:
                 return 0
 
             cfg_by_ns = {table_ns(tt): c for tt, c in TABLE_CONFIGS.items()}
-            suffix = (
-                f"asof-{args.watermark}"
-                if args.mode == "asof"
-                else f"changelog-{args.lo}-{'head' if args.hi is None else args.hi}"
-            )
+            hi_label = "head" if args.hi is None else args.hi
+            suffix = {
+                "asof": f"asof-{args.watermark}",
+                "changelog": f"changelog-{args.lo}-{hi_label}",
+                "diff": f"diff-{args.lo}-{hi_label}",
+                "history": "history",
+            }[args.mode]
             try:
                 for ns, tgt in targets:
-                    if args.mode == "asof":
-                        kw = {}
-                        if ns is not None:
-                            tc = cfg_by_ns.get(ns)
-                            if tc is None:
-                                raise SystemExit(
-                                    f"no TABLE_CONFIGS entry for namespace {ns} — "
-                                    "cannot finalize its asof schema"
-                                )
-                            kw = dict(
-                                key_cols=tc["keys"],
-                                final_columns=tc["final_columns"],
-                                final_types=tc["types"],
+                    kw = {}
+                    if ns is not None and args.mode in ("asof", "diff", "history"):
+                        tc = cfg_by_ns.get(ns)
+                        if tc is None:
+                            raise SystemExit(
+                                f"no TABLE_CONFIGS entry for namespace {ns} — "
+                                f"cannot finalize its {args.mode} schema"
                             )
+                        kw = dict(
+                            key_cols=tc["keys"],
+                            final_columns=tc["final_columns"],
+                            final_types=tc["types"],
+                        )
+                    if args.mode == "asof":
                         ds = read_lake_asof(tgt, args.watermark, **kw)
+                    elif args.mode == "diff":
+                        # snapshot-to-snapshot semantic diff: --lo (from)
+                        # and --hi (to, default head); output digest column
+                        # is the sha lineage when the table keeps one
+                        sha = (
+                            "content_sha256"
+                            if "content_sha256" in (kw.get("final_columns") or ["content_sha256"])
+                            else "digest"
+                        )
+                        ds = lake_diff(
+                            tgt,
+                            args.lo,
+                            10**15 if args.hi is None else args.hi,
+                            sha_col=sha,
+                            **kw,
+                        )
+                    elif args.mode == "history":
+                        hkw = dict(key_cols=kw["key_cols"]) if kw else {}
+                        if ns is not None:
+                            tc = cfg_by_ns.get(ns) or {}
+                            hkw["version_col"] = tc.get("version_col", "commit")
+                        ds = lake_history(tgt, **hkw)
                     else:
                         # changelog rows are schema-agnostic (as committed)
                         ds = read_lake_changelog(tgt, lo=args.lo, hi=args.hi)

@@ -51,6 +51,10 @@ TABLE_CONFIGS: dict[tuple[str, str], dict] = {
         keys=["id"],
         types={"id": pa.int64(), "val": pa.int64()},
         final_columns=["id", "val"],
+        # content-free table: the value itself is the version marker
+        # (CLI history mode) and the diff digest falls back to the
+        # non-key-column composite
+        version_col="val",
         # low-traffic side table: its own (small) partition count — the
         # apply cost is one task per (table, partition)
         num_partitions=8,
@@ -683,6 +687,8 @@ def lake_diff(
     *,
     key_cols: Optional[list[str]] = None,
     sha_col: str = "content_sha256",
+    final_columns: Optional[list[str]] = None,
+    final_types: Optional[dict] = None,
 ) -> ray.data.Dataset:
     """Semantic diff between two snapshots: per-key net change from the
     state AS OF ``lo`` to the state AS OF ``hi``, classified INSERT /
@@ -692,6 +698,13 @@ def lake_diff(
     upsert/delete instructions, with intermediate churn folded away
     (a key updated five times then restored to its ``lo`` content
     disappears from the diff; the changelog keeps the churn).
+
+    Tables without a ``sha_col`` lineage column (content-free side
+    tables) are compared on a composite digest of their non-key
+    columns cast to string; the output column is still named
+    ``sha_col`` (pass e.g. ``sha_col="digest"`` for those).
+    ``final_columns`` / ``final_types`` forward to the per-partition
+    asof fold for non-default table schemas.
 
     Scale shape: both folds are PARTITION-ALIGNED — base and delta
     files live per partition, so one task per partition folds its own
@@ -707,27 +720,49 @@ def lake_diff(
     from ..stages.apply_arrow import read_asof_parts
 
     keys = key_cols or TABLE_CONFIGS[("app", "repos")]["keys"]
+    key_types = final_types or TABLE_CONFIGS[("app", "repos")]["types"]
+
+    def _arr(col):
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
     def _composite(t: pa.Table):
-        parts = []
-        for k in keys:
-            col = t[k]
-            parts.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        parts = [_arr(t[k]) for k in keys]
         if len(parts) == 1:
             return parts[0]
         return pc.binary_join_element_wise(*parts, "\x00")
 
+    def _digest(t: pa.Table):
+        """Per-row comparison digest: the sha lineage column when the
+        table maintains one, else a composite of non-key columns."""
+        if sha_col in t.column_names:
+            return pc.cast(_arr(t[sha_col]), pa.string())
+        payload = sorted(c for c in t.column_names if c not in keys)
+        if not payload:
+            return pa.nulls(t.num_rows, pa.string())
+        arrs = [pc.cast(_arr(t[c]), pa.string()) for c in payload]
+        if len(arrs) == 1:
+            return pc.fill_null(arrs[0], "\x00null")
+        return pc.binary_join_element_wise(
+            *arrs, "\x01", null_handling="replace", null_replacement="\x00null"
+        )
+
     empty = pa.table(
         {
-            **{k: pa.array([], pa.string()) for k in keys},
+            **{k: pa.array([], key_types.get(k, pa.string())) for k in keys},
             "change": pa.array([], pa.string()),
             sha_col: pa.array([], pa.string()),
         }
     )
 
     def diff_part(batch: pa.Table) -> pa.Table:
-        lo_t = read_asof_parts(batch, lake_dir=lake_dir, watermark=lo)
-        hi_t = read_asof_parts(batch, lake_dir=lake_dir, watermark=hi)
+        lo_t = read_asof_parts(
+            batch, lake_dir=lake_dir, watermark=lo,
+            key_cols=keys, final_columns=final_columns, final_types=final_types,
+        )
+        hi_t = read_asof_parts(
+            batch, lake_dir=lake_dir, watermark=hi,
+            key_cols=keys, final_columns=final_columns, final_types=final_types,
+        )
         if not lo_t.num_rows and not hi_t.num_rows:
             return empty
 
@@ -741,11 +776,9 @@ def lake_diff(
             )
 
         if not lo_t.num_rows:
-            return out(hi_t, "INSERT", pc.cast(hi_t[sha_col], pa.string()))
+            return out(hi_t, "INSERT", _digest(hi_t))
         if not hi_t.num_rows:
-            return out(
-                lo_t, "DELETE", pa.nulls(lo_t.num_rows, pa.string())
-            )
+            return out(lo_t, "DELETE", pa.nulls(lo_t.num_rows, pa.string()))
         lo_k, hi_k = _composite(lo_t), _composite(hi_t)
         pos_hi = pc.index_in(hi_k, value_set=lo_k)  # hi row → its lo row
         pos_lo = pc.index_in(lo_k, value_set=hi_k)  # lo row → its hi row
@@ -753,16 +786,13 @@ def lake_diff(
         dels = lo_t.filter(pc.is_null(pos_lo))
         matched_mask = pc.is_valid(pos_hi)
         both_hi = hi_t.filter(matched_mask)
-        lo_sha = pc.take(
-            pc.cast(lo_t[sha_col], pa.string()),
-            pos_hi.filter(matched_mask) if isinstance(pos_hi, pa.ChunkedArray) else pc.filter(pos_hi, matched_mask),
-        )
-        hi_sha = pc.cast(both_hi[sha_col], pa.string())
-        upd = both_hi.filter(pc.not_equal(hi_sha, lo_sha))
+        lo_dig = pc.take(_digest(lo_t), pc.filter(pos_hi, matched_mask))
+        hi_dig = pc.filter(_digest(hi_t), matched_mask)
+        upd = both_hi.filter(pc.not_equal(hi_dig, lo_dig))
         return pa.concat_tables(
             [
-                out(ins, "INSERT", pc.cast(ins[sha_col], pa.string())),
-                out(upd, "UPDATE", pc.cast(upd[sha_col], pa.string())),
+                out(ins, "INSERT", _digest(ins)),
+                out(upd, "UPDATE", _digest(upd)),
                 out(dels, "DELETE", pa.nulls(dels.num_rows, pa.string())),
             ]
         )
@@ -830,7 +860,7 @@ def lake_history(
                         pa.table(
                             {
                                 **{k: t[k] for k in keys},
-                                version_col: t[version_col],
+                                version_col: pc.cast(t[version_col], pa.string()),
                                 "ordinal": pa.array(
                                     np.full(t.num_rows, compacted_through, np.int64)
                                 ),
@@ -845,7 +875,7 @@ def lake_history(
                         pa.table(
                             {
                                 **{k: t[k] for k in keys},
-                                version_col: t[version_col],
+                                version_col: pc.cast(t[version_col], pa.string()),
                                 "ordinal": pc.cast(t["ordinal"], pa.int64()),
                                 "dml": t["dml"],
                             }

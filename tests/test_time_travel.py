@@ -212,6 +212,22 @@ def test_cli_asof_changelog_multi_table_root(fixture_paths, tmp_path):
     ch = pd.read_parquet(os.path.join(cfg["output_dir"], "changelog--1-head", "app.repos"))
     assert "ordinal" in ch.columns and len(ch) > 0
 
+    # diff over the root: repos uses the sha lineage, counters (no sha)
+    # falls back to the non-key-column digest
+    r = _run_cli("diff", str(cfg_path), "--lo", "-1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    dr = pd.read_parquet(os.path.join(cfg["output_dir"], "diff--1-head", "app.repos"))
+    assert "content_sha256" in dr.columns and len(dr) > 0
+    dc = pd.read_parquet(os.path.join(cfg["output_dir"], "diff--1-head", "metrics.counters"))
+    assert "digest" in dc.columns and set(dc["change"]) <= {"INSERT", "UPDATE", "DELETE"}
+
+    # history over the root: counters versions come from the val column
+    r = _run_cli("history", str(cfg_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    hc = pd.read_parquet(os.path.join(cfg["output_dir"], "history", "metrics.counters"))
+    assert {"id", "val", "valid_from", "valid_to"} <= set(hc.columns)
+    assert len(hc) > 0
+
 
 def test_retention_aware_compaction(asof_lake, tmp_path):
     """compact_lake(retain_after=W2): windows at or below the horizon
@@ -474,3 +490,35 @@ def test_lake_history_chain_invariants(asof_lake):
         assert (vt[:-1] == vf[1:]).all(), (repo, path)
         open_n = g["valid_to"].isna().sum()
         assert open_n == (1 if (repo, path) in live else 0), (repo, path)
+
+
+def test_cli_diff_and_history_modes(asof_lake, tmp_path):
+    """CLI surface: `diff` writes the semantic per-key diff between two
+    snapshots; `history` writes the SCD2 interval table."""
+    import json
+
+    import pandas as pd
+
+    cfg = {"segments_dir": "/tmp", "output_dir": str(tmp_path / "out"), "lake_dir": asof_lake}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    # diff between the wave-2 and wave-3 boundaries: only %9 updates
+    r = _run_cli("diff", str(cfg_path), "--lo", str(W2), "--hi", str(W3))
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = pd.read_parquet(os.path.join(cfg["output_dir"], f"diff-{W2}-{W3}"))
+    assert set(d["change"]) == {"UPDATE"}
+    assert d["content_sha256"].notna().all()
+
+    # full-span diff to head includes all three classes
+    r = _run_cli("diff", str(cfg_path), "--lo", str(WAVE - 1))
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = pd.read_parquet(os.path.join(cfg["output_dir"], f"diff-{WAVE - 1}-head"))
+    assert set(d["change"]) == {"INSERT", "UPDATE", "DELETE"}
+
+    # history: interval rows, open intervals NULL, no DELETE rows
+    r = _run_cli("history", str(cfg_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    h = pd.read_parquet(os.path.join(cfg["output_dir"], "history"))
+    assert {"repo", "path", "commit", "valid_from", "valid_to"} <= set(h.columns)
+    assert h["valid_to"].isna().any() and len(h) > 0

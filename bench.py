@@ -220,6 +220,11 @@ def run_bench() -> dict:
         timed("lake_changelog_tail", api.lake_changelog_tail)
         timed("lake_changelog_follow", api.lake_changelog_follow)
         timed("lake_replicate_follow", api.lake_replicate_follow)
+        timed("lake_snapshot_diff", api.lake_snapshot_diff)
+        timed("lake_history_scd2", api.lake_history_scd2)
+        timed("dedup_incremental_candidates", api.dedup_incremental_candidates)
+        timed("dedup_incremental_verified", api.dedup_incremental_verified)
+        timed("training_shuffle_shards", api.training_shuffle_shards)
 
         # round-4 pipelines over the bench-scale fixture stream:
         from myzql_binlog_connector_ray.pipelines.ingest import compact_lake, run_ingest_multi

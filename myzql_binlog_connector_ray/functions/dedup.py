@@ -54,6 +54,22 @@ def mod_m31(x: np.ndarray) -> np.ndarray:
     return np.where(r >= M31, r - M31, r)
 
 
+def mod_m31_owned(x: np.ndarray) -> np.ndarray:
+    """``mod_m31`` for a temporary the CALLER owns: folds in place with
+    one scratch buffer instead of five fresh allocations — value-
+    identical (property-pinned), ~2× fewer bytes traffic on the
+    signature hot path where the input is a (num_perm × chunk) int64
+    block that exists only to be folded."""
+    t = x >> 31  # the one scratch allocation
+    x &= M31
+    x += t  # < 2^32
+    np.right_shift(x, 31, out=t)
+    x &= M31
+    x += t  # ≤ M31 + 1
+    np.subtract(x, M31, out=x, where=x >= M31)
+    return x
+
+
 def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     """Per-permutation (A, C) constants; also embedded as literals in the
     oracle SQL, so the RandomState seed is part of the spec."""
@@ -216,7 +232,9 @@ class MinHasher:
                 total += lens[end]
                 end += 1
             g = allg[doc_starts[start] : doc_starts[start] + total]
-            vals = mod_m31(g[None, :] * self.a[:, None] + self.c[:, None])
+            vals = g[None, :] * self.a[:, None]
+            vals += self.c[:, None]
+            vals = mod_m31_owned(vals)  # vals is ours: fold in place
             offs = doc_starts[start:end] - doc_starts[start]
             sigs[start:end] = np.minimum.reduceat(vals, offs, axis=1).T
             start = end

@@ -181,3 +181,17 @@ def test_segment_sort_key_orders_by_number(nums):
     got = sorted(names, key=segment_sort_key)
     want = [x[1] for x in sorted(zip(nums, names))]
     assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 62) - 1), min_size=1, max_size=200)
+)
+def test_mod_m31_owned_equals_mod_m31(xs):
+    """The in-place Mersenne fold is value-identical to the allocating
+    spec version over its full valid domain [0, 2^62)."""
+    import numpy as np
+
+    from myzql_binlog_connector_ray.functions.dedup import mod_m31, mod_m31_owned
+
+    x = np.array(xs, dtype=np.int64)
+    assert (mod_m31(x.copy()) == mod_m31_owned(x.copy())).all()

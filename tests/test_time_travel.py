@@ -522,3 +522,83 @@ def test_cli_diff_and_history_modes(asof_lake, tmp_path):
     h = pd.read_parquet(os.path.join(cfg["output_dir"], "history"))
     assert {"repo", "path", "commit", "valid_from", "valid_to"} <= set(h.columns)
     assert h["valid_to"].isna().any() and len(h) > 0
+
+
+def test_lake_diff_and_history_reinsert_and_restore(ray_session, tmp_path):
+    """Edge cases the fixture stream never produces: a key deleted then
+    REINSERTED (span diff must show UPDATE, window diff INSERT; history
+    must carry two chains) and a key updated then RESTORED to its
+    original content (span diff must fold it away entirely)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from myzql_binlog_connector_ray.pipelines.ingest import (
+        init_lake,
+        lake_diff,
+        lake_history,
+    )
+    from myzql_binlog_connector_ray.state.manifest import commit_delta
+
+    lake = str(tmp_path / "minilake")
+    base = pa.table(
+        {
+            "repo": pa.array(["r", "r", "r"]),
+            "path": pa.array(["A", "B", "D"]),
+            "content": pa.array(["a1", "b1", "d1"]),
+        }
+    )
+    init_lake(base, lake, 1)
+
+    def window(rows, w):
+        t = pa.table(
+            {
+                "repo": pa.array([r[0] for r in rows], pa.string()),
+                "path": pa.array([r[1] for r in rows], pa.string()),
+                "content": pa.array([r[2] for r in rows], pa.string()),
+                "dml": pa.array([r[3] for r in rows], pa.string()),
+                "ordinal": pa.array([w] * len(rows), pa.int64()),
+                "event_row_index": pa.array(list(range(len(rows))), pa.int64()),
+            }
+        )
+        commit_delta(lake, 0, t, w, key_cols=["repo", "path"])
+
+    window([("r", "A", "a2", "UPDATE"), ("r", "B", "b1", "DELETE"), ("r", "D", "d2", "UPDATE")], 10)
+    window([("r", "B", "b2", "INSERT"), ("r", "D", "d1", "UPDATE")], 20)  # B reinserted, D restored
+    window([("r", "A", "a2", "DELETE"), ("r", "C", "c1", "INSERT")], 30)
+
+    fc = ["repo", "path", "content"]
+    ft = {"repo": pa.string(), "path": pa.string(), "content": pa.string()}
+
+    # span diff base->head: A deleted; B present both ends with changed
+    # content (the reinsert) -> UPDATE; C inserted; D restored -> NO row
+    d = (
+        lake_diff(lake, -1, 10**15, sha_col="digest", final_columns=fc, final_types=ft)
+        .to_pandas()
+        .set_index("path")
+    )
+    assert d.loc["A", "change"] == "DELETE"
+    assert d.loc["B", "change"] == "UPDATE"
+    assert d.loc["C", "change"] == "INSERT"
+    assert "D" not in d.index
+
+    # window diff (10, 20]: the reinsert shows as INSERT, the restore as UPDATE
+    d2 = (
+        lake_diff(lake, 10, 20, sha_col="digest", final_columns=fc, final_types=ft)
+        .to_pandas()
+        .set_index("path")
+    )
+    assert d2.loc["B", "change"] == "INSERT"
+    assert d2.loc["D", "change"] == "UPDATE"
+    assert "A" not in d2.index
+
+    # history: B has two chains (closed at the delete, reopened by the
+    # reinsert); D three versions with only the last open; A fully closed
+    h = lake_history(lake, version_col="content").to_pandas()
+    hb = h[h["path"] == "B"].sort_values("valid_from")
+    assert list(hb["content"]) == ["b1", "b2"]
+    assert hb["valid_to"].tolist()[0] == 10 and pd.isna(hb["valid_to"].tolist()[1])
+    hd = h[h["path"] == "D"].sort_values("valid_from")
+    assert list(hd["content"]) == ["d1", "d2", "d1"]
+    assert pd.isna(hd["valid_to"].iloc[-1]) and (hd["valid_to"].iloc[:-1] == [10, 20]).all()
+    ha = h[h["path"] == "A"].sort_values("valid_from")
+    assert ha["valid_to"].notna().all() and ha["valid_to"].iloc[-1] == 30

@@ -251,6 +251,9 @@ def init_lake(base_table: pa.Table, lake_dir: str, num_partitions: int) -> None:
 
     from ..state.manifest import partition_dir
 
+    # an empty base is a legitimate bootstrap (CDC from scratch): the
+    # lake root must exist so later delta commits / reads find it
+    os.makedirs(lake_dir, exist_ok=True)
     part = partition_of(base_table["repo"].to_pylist(), base_table["path"].to_pylist(), num_partitions)
     df = base_table.to_pandas()
     df["content_sha256"] = sha256_hex(df["content"].tolist())

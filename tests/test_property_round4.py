@@ -195,3 +195,129 @@ def test_mod_m31_owned_equals_mod_m31(xs):
 
     x = np.array(xs, dtype=np.int64)
     assert (mod_m31(x.copy()) == mod_m31_owned(x.copy())).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    windows=st.lists(
+        st.dictionaries(
+            st.sampled_from(["A", "B", "C", "D", "E", "F"]),
+            st.tuples(
+                st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+                st.text(alphabet="xyz", min_size=1, max_size=3),
+            ),
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    base_keys=st.sets(st.sampled_from(["A", "B", "C", "D", "E", "F"]), max_size=6),
+)
+def test_lake_diff_history_match_bruteforce(ray_session, tmp_path_factory, windows, base_keys):
+    """lake_diff and lake_history over a hash-partitioned delta lake must
+    match a per-key Python replay of the same LWW stream — any window
+    pair for diff, full interval chains for history."""
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from myzql_binlog_connector_ray.pipelines.ingest import init_lake, lake_diff, lake_history
+    from myzql_binlog_connector_ray.state.manifest import commit_delta
+    from myzql_binlog_connector_ray.stages.apply import partition_of
+
+    P = 4
+    lake = str(tmp_path_factory.mktemp("propdiff") / uuid.uuid4().hex)
+    base = sorted(base_keys)
+    init_lake(
+        pa.table(
+            {
+                "repo": pa.array(["r"] * len(base), pa.string()),
+                "path": pa.array(base, pa.string()),
+                "content": pa.array([f"base-{k}" for k in base], pa.string()),
+            }
+        ),
+        lake,
+        P,
+    )
+    marks = [10 * (i + 1) for i in range(len(windows))]
+    for w, ops in zip(marks, windows):
+        rows = sorted(ops.items())
+        if not rows:
+            continue
+        by_part: dict = {}
+        for k, (dml, content) in rows:
+            part = int(partition_of(["r"], [k], P)[0])
+            by_part.setdefault(part, []).append((k, dml, content))
+        for p, prows in by_part.items():
+            commit_delta(
+                lake,
+                p,
+                pa.table(
+                    {
+                        "repo": pa.array(["r"] * len(prows), pa.string()),
+                        "path": pa.array([r[0] for r in prows], pa.string()),
+                        "content": pa.array([r[2] for r in prows], pa.string()),
+                        "dml": pa.array([r[1] for r in prows], pa.string()),
+                        "ordinal": pa.array([w] * len(prows), pa.int64()),
+                        "event_row_index": pa.array(list(range(len(prows))), pa.int64()),
+                    }
+                ),
+                w,
+                key_cols=["repo", "path"],
+            )
+        # every partition must carry the wave's manifest watermark even if
+        # it had no rows (run_ingest commits empty watermarks the same way)
+
+    def replay(upto):
+        state = {k: f"base-{k}" for k in base}
+        for w, ops in zip(marks, windows):
+            if w > upto:
+                break
+            for k, (dml, content) in sorted(ops.items()):
+                if dml == "DELETE":
+                    state.pop(k, None)
+                else:
+                    state[k] = content
+        return state
+
+    fc = ["repo", "path", "content"]
+    ft = {"repo": pa.string(), "path": pa.string(), "content": pa.string()}
+
+    # diff between every adjacent boundary pair plus the full span
+    bounds = [-1] + marks
+    pairs = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)] + [(-1, marks[-1])]
+    for lo, hi in pairs:
+        s_lo, s_hi = replay(lo), replay(hi)
+        want = {}
+        for k in set(s_lo) | set(s_hi):
+            if k not in s_lo:
+                want[k] = "INSERT"
+            elif k not in s_hi:
+                want[k] = "DELETE"
+            elif s_lo[k] != s_hi[k]:
+                want[k] = "UPDATE"
+        got = lake_diff(lake, lo, hi, sha_col="digest", final_columns=fc, final_types=ft).to_pandas()
+        got_map = {} if len(got) == 0 else dict(zip(got["path"], got["change"]))
+        assert got_map == want, (lo, hi)
+
+    # history: per-key interval chain == replayed change positions
+    h = lake_history(lake, version_col="content").to_pandas()
+    for k in set(base) | {k for ops in windows for k in ops}:
+        events = [(-1, f"base-{k}", "BASE")] if k in base else []
+        for w, ops in zip(marks, windows):
+            if k in ops:
+                dml, content = ops[k]
+                events.append((w, content, dml))
+        want_rows = []
+        for i, (w, content, dml) in enumerate(events):
+            if dml == "DELETE":
+                continue
+            nxt = events[i + 1][0] if i + 1 < len(events) else None
+            want_rows.append((w, content, nxt))
+        hk = h[h["path"] == k].sort_values("valid_from")
+        got_rows = [
+            (int(r.valid_from), r.content, None if pd.isna(r.valid_to) else int(r.valid_to))
+            for r in hk.itertuples()
+        ]
+        assert got_rows == want_rows, k

@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_changelog_tail": api.lake_changelog_tail,
         "lake_snapshot_diff": api.lake_snapshot_diff,
         "lake_history_scd2": api.lake_history_scd2,
+        "lake_version_lineage": api.lake_version_lineage,
         "lake_changelog_follow": api.lake_changelog_follow,
         "lake_replicate_follow": api.lake_replicate_follow,
         # pipelined streaming ingest (round-5): stage-on-close raw
@@ -626,6 +627,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w AS BIGINT) AS valid_from_wave,
                    CAST(COALESCE(nxt, CASE WHEN doc_id % 5 = 0 THEN 4 END) AS BIGINT) AS valid_to_wave
             FROM ends
+        """,
+        # version lineage: what each retained version superseded and
+        # that predecessor's lifetime in waves (lag over the same
+        # collapsed chains as lake_history_scd2; first generations NULL)
+        "lake_version_lineage": f"""
+            WITH d AS ({_D}),
+            vers AS (
+              SELECT repo, path, 1 AS ver,
+                     CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS w
+              FROM d
+              WHERE doc_id % 4 <> 0 OR doc_id % 3 <> 0
+              UNION ALL
+              SELECT repo, path, 2, 2 FROM d WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT repo, path, 3, 3 FROM d WHERE doc_id % 9 = 0
+            ),
+            chain AS (
+              SELECT repo, path, ver, w,
+                     lag(ver) OVER (PARTITION BY repo, path ORDER BY w) AS pver,
+                     lag(w) OVER (PARTITION BY repo, path ORDER BY w) AS pw
+              FROM vers
+            )
+            SELECT repo, path,
+                   md5(repo || ':' || path || ':v' || ver) AS commit,
+                   CASE WHEN pver IS NULL THEN NULL
+                        ELSE md5(repo || ':' || path || ':v' || pver) END AS prev_commit,
+                   CAST(w - pw AS BIGINT) AS prev_lifetime_waves
+            FROM chain
         """,
         # CDC-out follower: one window per published commit frontier.
         # Window 1 spans waves 1+2 (one ingest pass), so the per-window

@@ -222,6 +222,7 @@ def run_bench() -> dict:
         timed("lake_replicate_follow", api.lake_replicate_follow)
         timed("lake_snapshot_diff", api.lake_snapshot_diff)
         timed("lake_history_scd2", api.lake_history_scd2)
+        timed("lake_version_lineage", api.lake_version_lineage)
         timed("dedup_incremental_candidates", api.dedup_incremental_candidates)
         timed("dedup_incremental_verified", api.dedup_incremental_verified)
         timed("training_shuffle_shards", api.training_shuffle_shards)

@@ -294,6 +294,53 @@ def lake_history_scd2(sf_dir: str, *, num_partitions: int = 16, concurrency=None
     return lake_history(lake_dir).map_batches(to_waves, batch_format="pyarrow")
 
 
+def lake_version_lineage(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
+    """Version lineage from the SCD2 history: every retained version
+    with the commit it SUPERSEDED and how long (in commit waves) that
+    predecessor lived — the audit question "what replaced what, and how
+    stale was it" answered straight from the lake's delta log.
+    Zero-shuffle: lineage is computed inside the same per-partition
+    history pass (``lake_history(with_lineage=True)``), so a key's
+    chain never straddles a batch boundary. First generations (base
+    rows, fresh inserts) have NULL predecessors; the oracle recomputes
+    the chains with ``lag()`` under the same wave-1+2 window-collapse
+    rule as ``lake_history_scd2``."""
+    import pyarrow.compute as pc
+
+    from .pipelines.ingest import lake_history
+
+    lake_dir = _asof_lake(sf_dir, num_partitions, concurrency)
+
+    def to_waves(t: pa.Table) -> pa.Table:
+        vf = t["valid_from"].to_numpy(zero_copy_only=False)
+        vf_w = np.where(vf < 0, 0, vf // WAVE).astype(np.int64)
+        pvf = t["prev_valid_from"]
+        if isinstance(pvf, pa.ChunkedArray):
+            pvf = pvf.combine_chunks()
+        pvf_w = pc.if_else(
+            pc.is_valid(pvf),
+            pc.max_element_wise(
+                pc.divide(pc.cast(pvf, pa.int64()), pa.scalar(WAVE, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            ),
+            pa.scalar(None, pa.int64()),
+        )
+        lifetime = pc.subtract(pa.array(vf_w, pa.int64()), pvf_w)
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "commit": t["commit"],
+                "prev_commit": t["prev_commit"],
+                "prev_lifetime_waves": lifetime,
+            }
+        )
+
+    return lake_history(lake_dir, with_lineage=True).map_batches(
+        to_waves, batch_format="pyarrow"
+    )
+
+
 def lake_changelog_follow(sf_dir: str, *, num_partitions: int = 16, concurrency=None):
     """Live CDC-out follower end-to-end: three ingest waves land in a
     fresh delta lake, each publishing the lake-level commit frontier;

@@ -811,6 +811,7 @@ def lake_history(
     *,
     key_cols: Optional[list[str]] = None,
     version_col: str = "commit",
+    with_lineage: bool = False,
 ) -> ray.data.Dataset:
     """SCD-type-2 history materialization: every version a key ever had
     as an interval row ``(keys…, version_col, valid_from, valid_to)`` —
@@ -827,7 +828,13 @@ def lake_history(
     next-row shift; DELETE rows close the preceding interval and emit
     nothing. Zero shuffle; output bounded by total retained versions.
     History below a partition's compaction horizon is folded into its
-    base row (the retention limit every delta lake has)."""
+    base row (the retention limit every delta lake has).
+
+    ``with_lineage=True`` appends ``prev_<version_col>`` /
+    ``prev_valid_from``: the version each row superseded, computed in
+    the SAME per-partition pass (so a key's chain can never straddle a
+    downstream batch boundary). A delete gap breaks lineage — a
+    reinserted generation superseded nothing and gets NULLs."""
     import glob as _glob
     from functools import partial as _partial
 
@@ -843,6 +850,9 @@ def lake_history(
         cols[version_col] = pa.array([], pa.string())
         cols["valid_from"] = pa.array([], pa.int64())
         cols["valid_to"] = pa.array([], pa.int64())
+        if with_lineage:
+            cols["prev_" + version_col] = pa.array([], pa.string())
+            cols["prev_valid_from"] = pa.array([], pa.int64())
         return pa.table(cols)
 
     def history_part(batch: pa.Table) -> pa.Table:
@@ -912,6 +922,31 @@ def lake_history(
             cols["valid_from"] = pa.array(ords[keep], pa.int64())
             vt = valid_to[keep]
             cols["valid_to"] = pa.array(vt, pa.int64(), mask=vt < 0)
+            if with_lineage:
+                # predecessor within the kept chain (same key AND
+                # contiguous — a delete gap breaks lineage: the next
+                # generation superseded nothing). Computed here, in the
+                # per-partition task, so a key's rows can never straddle
+                # a downstream batch boundary.
+                kb_k = kb[keep]
+                vf_k = ords[keep]
+                ver_np = (
+                    cols[version_col].combine_chunks()
+                    if isinstance(cols[version_col], pa.ChunkedArray)
+                    else cols[version_col]
+                ).to_numpy(zero_copy_only=False)
+                n_k = len(kb_k)
+                prev_ok = np.zeros(n_k, dtype=bool)
+                if n_k > 1:
+                    prev_ok[1:] = (kb_k[1:] == kb_k[:-1]) & (vt[:-1] == vf_k[1:])
+                prev_ver = np.roll(ver_np, 1)
+                prev_vf = np.roll(vf_k, 1)
+                cols["prev_" + version_col] = pa.array(
+                    prev_ver, pa.string(), mask=~prev_ok
+                )
+                cols["prev_valid_from"] = pa.array(
+                    prev_vf, pa.int64(), mask=~prev_ok
+                )
             outs.append(pa.table(cols))
         if not outs:
             return empty()

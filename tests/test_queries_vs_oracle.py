@@ -87,6 +87,8 @@ SQL_CHECKED = [
     "lake_snapshot_diff",
     # round 5: SCD2 history table from the delta log (wave units)
     "lake_history_scd2",
+    # round 5: version lineage (what superseded what, lag oracle)
+    "lake_version_lineage",
     "minhash_dup_verified",
     "simhash_fingerprints",
     "language_id_predictions",

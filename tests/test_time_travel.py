@@ -602,3 +602,39 @@ def test_lake_diff_and_history_reinsert_and_restore(ray_session, tmp_path):
     assert pd.isna(hd["valid_to"].iloc[-1]) and (hd["valid_to"].iloc[:-1] == [10, 20]).all()
     ha = h[h["path"] == "A"].sort_values("valid_from")
     assert ha["valid_to"].notna().all() and ha["valid_to"].iloc[-1] == 30
+
+
+def test_lake_history_lineage_gap_rule(ray_session, tmp_path):
+    """with_lineage: contiguous chains carry their predecessor; a delete
+    gap yields NULL lineage for the reinserted generation."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from myzql_binlog_connector_ray.pipelines.ingest import init_lake, lake_history
+    from myzql_binlog_connector_ray.state.manifest import commit_delta
+
+    lake = str(tmp_path / "linlake")
+    init_lake(
+        pa.table({"repo": pa.array(["r", "r"]), "path": pa.array(["A", "B"]),
+                  "content": pa.array(["a1", "b1"])}),
+        lake, 1,
+    )
+
+    def win(rows, w):
+        commit_delta(lake, 0, pa.table({
+            "repo": pa.array([r[0] for r in rows], pa.string()),
+            "path": pa.array([r[1] for r in rows], pa.string()),
+            "content": pa.array([r[2] for r in rows], pa.string()),
+            "dml": pa.array([r[3] for r in rows], pa.string()),
+            "ordinal": pa.array([w] * len(rows), pa.int64()),
+            "event_row_index": pa.array(list(range(len(rows))), pa.int64()),
+        }), w, key_cols=["repo", "path"])
+
+    win([("r", "A", "a2", "UPDATE"), ("r", "B", "b1", "DELETE")], 10)
+    win([("r", "B", "b2", "INSERT")], 20)
+
+    h = lake_history(lake, version_col="content", with_lineage=True).to_pandas()
+    a2 = h[(h["path"] == "A") & (h["content"] == "a2")].iloc[0]
+    assert a2["prev_content"] == "a1" and a2["prev_valid_from"] == -1  # contiguous
+    b2 = h[(h["path"] == "B") & (h["content"] == "b2")].iloc[0]
+    assert pd.isna(b2["prev_content"]) and pd.isna(b2["prev_valid_from"])  # gap

@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample_per_group": api.reservoir_sample_per_group,
         "doc_chunking_stats": api.doc_chunking_stats,
         "embedding_centroids_by_label": api.embedding_centroids_by_label,
+        "embedding_kmeans_step": api.embedding_kmeans_step,
         "lineitem_semijoin_bloom": api.lineitem_semijoin_bloom,
         "url_domain_stats": api.url_domain_stats,
         "lineitem_profile": api.lineitem_profile,
@@ -1499,6 +1500,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer-millionth quantization makes the vector sums associative;
         # the one double division is op-order identical on both sides
+        # one Lloyd step: seeds = k smallest vec_ids, assignment =
+        # rank-1 cosine (ties -> smallest cid), centroid = integer-
+        # millionths mean (same quantization as centroids_by_label)
+        "embedding_kmeans_step": """
+            WITH seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS se
+              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+            ),
+            sims AS (
+              SELECT e.vec_id, s.cid, list_cosine_similarity(s.se, e.embedding) AS sim
+              FROM embeddings e CROSS JOIN seeds s
+            ),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+                FROM sims
+              ) WHERE rk = 1
+            ),
+            q AS (
+              SELECT a.cid, d.d - 1 AS dim,
+                     CAST(floor(CAST(e.embedding[d.d] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+              FROM assign a JOIN embeddings e USING (vec_id)
+              CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
+            )
+            SELECT CAST(cid AS BIGINT) AS cluster, CAST(dim AS BIGINT) AS dim,
+                   CAST(sum(qv) AS DOUBLE) / (count(*) * 1000000.0) AS centroid,
+                   count(*) AS n_members
+            FROM q GROUP BY cid, dim
+        """,
         "embedding_centroids_by_label": """
             WITH ex AS (
               SELECT label,

@@ -204,6 +204,7 @@ def run_bench() -> dict:
         timed("reservoir_sample_per_group", api.reservoir_sample_per_group)
         timed("doc_chunking_stats", api.doc_chunking_stats)
         timed("embedding_centroids_by_label", api.embedding_centroids_by_label)
+        timed("embedding_kmeans_step", api.embedding_kmeans_step)
         timed("lineitem_semijoin_bloom", api.lineitem_semijoin_bloom)
         timed("url_domain_stats", api.url_domain_stats)
         timed("lineitem_profile", api.lineitem_profile)

@@ -3922,6 +3922,83 @@ def doc_chunking_stats(sf_dir: str, *, size: int = 64, stride: int = 48):
     return ds.map_batches(chunk, batch_format="pyarrow")
 
 
+def embedding_kmeans_step(sf_dir: str, *, k: int = 4, num_parts: int = 8):
+    """One deterministic Lloyd (k-means) iteration over the embedding
+    corpus — the building block of mini-batch k-means, the scalable
+    clustering a curation pipeline runs for topic balancing and
+    coverage audits. Seeds are the ``k`` smallest-``vec_id`` vectors
+    (the same deterministic head the ANN queries use); each vector is
+    assigned to its max-cosine seed (ties → smallest seed index, which
+    is ``np.argmax``'s first-max rule and the oracle's ``ORDER BY sim
+    DESC, cid`` rank-1), and the new centroids are per-(cluster, dim)
+    means under the repo-standard integer-millionths quantization — so
+    the sums are associative integer arithmetic through the combiner
+    tree and the mean is ONE double division on both sides.
+
+    Scale shape: the seed matrix broadcasts once (``ray.put``); a block
+    collapses to ≤ k·dim partial rows (cosine argmax is one float64
+    matmul against the unit-normalized seeds — the vector's own norm
+    can't change its argmax — then ``np.add.reduceat`` over the
+    cluster-sorted quantized matrix); the exchange ships only partials
+    and the output is k·dim rows, independent of corpus size. Empty
+    clusters emit nothing (both sides)."""
+    from .functions.agg import combiner_aggregate
+    from .functions.ann import list_col_to_matrix
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = _parquet_head(path, ["vec_id", "embedding"], k)
+    seeds = list_col_to_matrix(head["embedding"]).astype(np.float64)
+    seeds_unit = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+    ref = ray.put(seeds_unit)
+
+    ds = _read_parquet(path, columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        su = ray.get(ref)
+        mat = list_col_to_matrix(t["embedding"]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ su.T  # (n, k)
+        cl = np.argmax(sims, axis=1).astype(np.int64)  # first max = smallest cid
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        dim = q.shape[1]
+        order = np.argsort(cl, kind="stable")
+        cl_s = cl[order]
+        starts = np.nonzero(np.r_[True, cl_s[1:] != cl_s[:-1]])[0]
+        sums = np.add.reduceat(q[order], starts, axis=0)
+        counts = np.diff(np.r_[starts, len(cl_s)])
+        g = len(starts)
+        return pa.table(
+            {
+                "cluster": pa.array(np.repeat(cl_s[starts], dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), g), pa.int64()),
+                "q_p": pa.array(sums.ravel(), pa.int64()),
+                "n_p": pa.array(np.repeat(counts.astype(np.int64), dim), pa.int64()),
+            }
+        )
+
+    agg = combiner_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cluster", "dim"],
+        [("q_p", "sum", "q"), ("n_p", "sum", "n")],
+        num_parts=num_parts,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        q = t["q"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "cluster": t["cluster"],
+                "dim": t["dim"],
+                "centroid": pa.array(q / (n * 1e6), pa.float64()),
+                "n_members": t["n"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def embedding_centroids_by_label(sf_dir: str, *, num_parts: int = 8):
     """Per-group vector mean (the embedding-centroid primitive behind
     k-means init, class prototypes, and cluster quality checks) as a

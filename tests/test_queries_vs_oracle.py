@@ -89,6 +89,8 @@ SQL_CHECKED = [
     "lake_history_scd2",
     # round 5: version lineage (what superseded what, lag oracle)
     "lake_version_lineage",
+    # round 5: one Lloyd step, integer-exact centroid means
+    "embedding_kmeans_step",
     "minhash_dup_verified",
     "simhash_fingerprints",
     "language_id_predictions",
